@@ -1,0 +1,340 @@
+"""Asset loading and synthetic stand-ins.
+
+The reference depends on a set of gitignored downloads (SMPL model pkls,
+smpl_mean_params.npz, GMM prior, geodesic matrix, HD regressor, body
+segments, DSC region classes; see configs/config.py:74-91 and SURVEY.md
+section 2.10). This module provides:
+
+  * loaders for the real assets when present (including chumpy-pickled SMPL
+    model files, loaded without chumpy via an unpickling shim), and
+  * deterministic synthetic stand-ins with the exact same schema and -- for
+    the "full" size -- the exact SMPL topology sizes (6890 vertices, 13776
+    faces), so tests run hermetically and benchmarks have true FLOP parity.
+
+The synthetic body is a closed UV-sphere (segments=82, rings=85 gives
+exactly 6890 vertices / 13776 triangles), which matters for the contact
+machinery: generalized winding numbers are only meaningful on closed meshes.
+"""
+
+import io
+import os
+import pickle
+import sys
+import types
+from typing import Dict, List, NamedTuple, Tuple
+
+import numpy as np
+
+from tuch_tpu import constants
+from tuch_tpu.models.smpl import SMPLModel
+
+# SMPL kinematic tree (public model topology).
+SMPL_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+     18, 19, 20, 21], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic meshes
+# ---------------------------------------------------------------------------
+
+def uv_sphere(segments: int, rings: int, radius: float = 1.0
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed triangulated UV sphere.
+
+    V = segments*(rings-2) + 2 vertices, F = 2*segments*(rings-2) triangles,
+    outward-oriented. rings counts latitude lines including both poles.
+    """
+    assert rings >= 3
+    n_lat = rings - 2  # interior latitude rings
+    verts = [np.array([0.0, 0.0, radius])]  # north pole, index 0
+    for i in range(1, n_lat + 1):
+        theta = np.pi * i / (n_lat + 1)
+        z = radius * np.cos(theta)
+        r = radius * np.sin(theta)
+        for j in range(segments):
+            phi = 2 * np.pi * j / segments
+            verts.append(np.array([r * np.cos(phi), r * np.sin(phi), z]))
+    south = len(verts)
+    verts.append(np.array([0.0, 0.0, -radius]))
+    verts = np.stack(verts).astype(np.float32)
+
+    faces = []
+    ring_start = lambda i: 1 + i * segments  # i in [0, n_lat)
+    # top cap
+    for j in range(segments):
+        a = ring_start(0) + j
+        b = ring_start(0) + (j + 1) % segments
+        faces.append([0, a, b])
+    # quads between rings
+    for i in range(n_lat - 1):
+        for j in range(segments):
+            a = ring_start(i) + j
+            b = ring_start(i) + (j + 1) % segments
+            c = ring_start(i + 1) + j
+            d = ring_start(i + 1) + (j + 1) % segments
+            faces.append([a, c, d])
+            faces.append([a, d, b])
+    # bottom cap
+    for j in range(segments):
+        a = ring_start(n_lat - 1) + j
+        b = ring_start(n_lat - 1) + (j + 1) % segments
+        faces.append([a, south, b])
+    return verts, np.asarray(faces, dtype=np.int32)
+
+
+class SyntheticExtras(NamedTuple):
+    """Everything beyond the core body model that the TUCH stack needs."""
+    geodists: np.ndarray          # (V, V) float32 geodesic distances
+    segments: dict                # name -> dict(vidx, bands_verts)
+    contact_classes: list         # list of (region_a, region_b) name pairs
+    contact_csig: dict            # region name -> vertex id array
+    mean_pose6d: np.ndarray       # (144,) 6d pose init for HMR
+    mean_shape: np.ndarray        # (10,)
+    mean_cam: np.ndarray          # (3,)
+    hd_vert_regressor: np.ndarray  # (H, V)
+    hd_geovec: np.ndarray          # (H,) face index each HD vert samples from
+
+
+def _sphere_params(num_verts: int) -> Tuple[int, int]:
+    """segments, rings for a UV sphere with ~num_verts vertices."""
+    if num_verts >= constants.SMPL_NUM_VERTS:
+        return 82, 86  # exactly 6890 verts / 13776 faces
+    # small test model
+    segs = max(8, int(np.sqrt(num_verts)))
+    n_lat = max(3, (num_verts - 2) // segs)
+    return segs, n_lat + 2
+
+
+def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
+                   seed: int = 0) -> Tuple[SMPLModel, SyntheticExtras]:
+    """Deterministic synthetic SMPL-schema body model on a closed sphere."""
+    rng = np.random.RandomState(seed)
+    segs, rings = _sphere_params(num_verts)
+    sphere, faces = uv_sphere(segs, rings)
+    V = sphere.shape[0]
+    J = constants.SMPL_NUM_JOINTS
+    S = constants.SMPL_NUM_BETAS
+
+    # Body-ish template: squash the sphere into an ellipsoid.
+    v_template = sphere * np.array([0.35, 0.18, 0.9], dtype=np.float32)
+
+    # 24 joints along/around the vertical axis, inside the body.
+    zs = np.linspace(-0.75, 0.75, J)
+    joint_pos = np.stack([0.08 * np.sin(np.arange(J)),
+                          0.04 * np.cos(np.arange(J)), zs], axis=-1)
+    joint_pos = joint_pos.astype(np.float32) * np.array([1, 1, 1],
+                                                        dtype=np.float32)
+
+    # J_regressor: softmax of negative distance to each joint (rows sum to 1).
+    d = np.linalg.norm(v_template[None, :, :] - joint_pos[:, None, :], axis=-1)
+    J_regressor = np.exp(-d ** 2 / 0.01)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+
+    # Skinning weights: smooth softmax over joints, at most 4 significant.
+    w = np.exp(-d.T ** 2 / 0.05)  # (V, J)
+    lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    # Low-frequency shape directions: random linear+quadratic fields.
+    A1 = rng.randn(S, 3, 3).astype(np.float32) * 0.02
+    shapedirs = np.einsum('sde,ve->vds', A1, v_template)
+    shapedirs += rng.randn(1, 3, S).astype(np.float32) * 0.002
+
+    P = 9 * (J - 1)
+    posedirs = (rng.randn(V, 3, P).astype(np.float32) * 1e-3)
+
+    vj = np.array([constants.VERTEX_JOINT_IDS[n] % V
+                   for n in constants.VERTEX_JOINT_ORDER], dtype=np.int32)
+
+    Jx = np.zeros((9, V), dtype=np.float32)
+    for r in range(9):
+        cols = rng.choice(V, size=8, replace=False)
+        Jx[r, cols] = 1.0 / 8
+
+    model = SMPLModel(
+        v_template=v_template,
+        shapedirs=shapedirs.astype(np.float32),
+        posedirs=posedirs,
+        J_regressor=J_regressor.astype(np.float32),
+        lbs_weights=lbs_weights,
+        parents=SMPL_PARENTS,
+        faces=faces,
+        vertex_joint_ids=vj,
+        J_regressor_extra=Jx,
+        joint_map=constants.JOINT_MAP_49.copy(),
+    )
+
+    # Geodesic distances: great-circle distance on the template sphere.
+    unit = sphere / np.linalg.norm(sphere, axis=-1, keepdims=True)
+    cos = np.clip(unit @ unit.T, -1.0, 1.0)
+    geodists = np.arccos(cos).astype(np.float32)
+
+    # Segments: latitude bands (closed by their boundary rings).
+    seg_names = ['band0', 'band1', 'band2']
+    n_lat = rings - 2
+    ring_ids = lambda i: np.arange(1 + i * segs, 1 + (i + 1) * segs)
+    bounds = np.linspace(0, n_lat, len(seg_names) + 1).astype(int)
+    segments = {}
+    for si, name in enumerate(seg_names):
+        lo, hi = bounds[si], bounds[si + 1]
+        vidx = np.concatenate([ring_ids(i) for i in range(lo, hi)]) \
+            if hi > lo else np.array([], dtype=np.int64)
+        if si == 0:
+            vidx = np.concatenate([[0], vidx])
+        if si == len(seg_names) - 1:
+            vidx = np.concatenate([vidx, [V - 1]])
+        bands = []
+        if lo > 0:
+            bands.append(ring_ids(lo - 1).tolist())
+        if hi < n_lat:
+            bands.append(ring_ids(hi).tolist())
+        segments[name] = {'vidx': vidx.astype(np.int64),
+                         'bands_verts': bands}
+
+    # Contact regions: longitude sectors (geometrically contiguous patches).
+    n_regions = 8
+    phi = np.arctan2(sphere[:, 1], sphere[:, 0])
+    sector = ((phi + np.pi) / (2 * np.pi) * n_regions).astype(int) % n_regions
+    csig = {f'reg{r}': np.where(sector == r)[0].astype(np.int64)
+            for r in range(n_regions)}
+    classes = [(f'reg{a}', f'reg{b}')
+               for a in range(n_regions) for b in range(a + 1, n_regions)][:12]
+
+    # HMR mean params: identity 6d rotations (row-interleaved layout
+    # [r11, r12, r21, r22, r31, r32]), zero shape, typical camera.
+    ident6d = np.tile(np.array([1, 0, 0, 1, 0, 0], dtype=np.float32), (J,))
+    mean_cam = np.array([0.9, 0.0, 0.0], dtype=np.float32)
+
+    # Synthetic HD surface: one sample point per face (barycenter), H = F.
+    F = faces.shape[0]
+    hd_reg = np.zeros((F, V), dtype=np.float32)
+    rows = np.arange(F)
+    for k in range(3):
+        hd_reg[rows, faces[:, k]] += 1.0 / 3
+    hd_geovec = rows.astype(np.int32)
+
+    extras = SyntheticExtras(
+        geodists=geodists,
+        segments=segments,
+        contact_classes=classes,
+        contact_csig=csig,
+        mean_pose6d=ident6d,
+        mean_shape=np.zeros(S, dtype=np.float32),
+        mean_cam=mean_cam,
+        hd_vert_regressor=hd_reg,
+        hd_geovec=hd_geovec,
+    )
+    return model, extras
+
+
+# ---------------------------------------------------------------------------
+# Real asset loaders
+# ---------------------------------------------------------------------------
+
+def _install_chumpy_stub():
+    """Allow unpickling chumpy-saved SMPL pkls without chumpy installed."""
+    if 'chumpy' in sys.modules:
+        return
+
+    class _Ch:
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict) else {})
+
+        def __array__(self, dtype=None):
+            arr = np.asarray(self.__dict__.get('x'))
+            return arr.astype(dtype) if dtype is not None else arr
+
+    chumpy = types.ModuleType('chumpy')
+    chumpy.Ch = _Ch
+    ch_mod = types.ModuleType('chumpy.ch')
+    ch_mod.Ch = _Ch
+    reordering = types.ModuleType('chumpy.reordering')
+    for name in ('Select', 'transpose', 'reshape'):
+        setattr(reordering, name, _Ch)
+    chumpy.ch = ch_mod
+    sys.modules['chumpy'] = chumpy
+    sys.modules['chumpy.ch'] = ch_mod
+    sys.modules['chumpy.reordering'] = reordering
+
+
+def _to_np(x) -> np.ndarray:
+    if hasattr(x, 'toarray'):  # scipy sparse
+        return np.asarray(x.toarray())
+    return np.asarray(x)
+
+
+def load_smpl_pkl(path: str) -> SMPLModel:
+    """Load a real SMPL model .pkl (chumpy format) into an SMPLModel.
+
+    Mirrors what the smplx package extracts from the same file (which the
+    reference uses through smplx.SMPL; tuch/models/smpl.py:34-42), plus the
+    SPIN extra-joint machinery when the side assets are available.
+    """
+    _install_chumpy_stub()
+    with open(path, 'rb') as f:
+        data = pickle.load(f, encoding='latin1')
+
+    v_template = _to_np(data['v_template']).astype(np.float32)
+    V = v_template.shape[0]
+    shapedirs = _to_np(data['shapedirs']).astype(np.float32)[:, :, :10]
+    posedirs = _to_np(data['posedirs']).astype(np.float32)
+    # smplx stores posedirs as (V, 3, P); some dumps are (P, V*3).
+    if posedirs.ndim == 2:
+        posedirs = posedirs.reshape(-1, V, 3).transpose(1, 2, 0)
+    J_regressor = _to_np(data['J_regressor']).astype(np.float32)
+    lbs_weights = _to_np(data['weights']).astype(np.float32)
+    parents = _to_np(data['kintree_table'])[0].astype(np.int64)
+    parents[0] = -1
+    faces = _to_np(data['f']).astype(np.int32)
+
+    vj = np.array([constants.VERTEX_JOINT_IDS[n]
+                   for n in constants.VERTEX_JOINT_ORDER], dtype=np.int32)
+    return SMPLModel(
+        v_template=v_template, shapedirs=shapedirs, posedirs=posedirs,
+        J_regressor=J_regressor, lbs_weights=lbs_weights,
+        parents=parents.astype(np.int32), faces=faces,
+        vertex_joint_ids=vj,
+        J_regressor_extra=np.zeros((9, V), dtype=np.float32),
+        joint_map=constants.JOINT_MAP_49.copy())
+
+
+def load_extra_joint_regressor(model: SMPLModel, path: str) -> SMPLModel:
+    """Attach J_regressor_extra.npy (reference: configs/config.py:77)."""
+    Jx = np.load(path).astype(np.float32)
+    return model._replace(J_regressor_extra=Jx)
+
+
+def load_mean_params(path: str):
+    """smpl_mean_params.npz -> (pose6d(144,), shape(10,), cam(3,))."""
+    d = np.load(path)
+    return (np.asarray(d['pose'], dtype=np.float32).reshape(-1),
+            np.asarray(d['shape'], dtype=np.float32).reshape(-1),
+            np.asarray(d['cam'], dtype=np.float32).reshape(-1))
+
+
+def load_gmm_prior(path: str):
+    """gmm_08.pkl -> dict(means, covs, weights) as float32 numpy arrays.
+
+    Same file the reference loads at tuch/smplify/prior.py:55-76.
+    """
+    with open(path, 'rb') as f:
+        gmm = pickle.load(f, encoding='latin1')
+    if isinstance(gmm, dict):
+        means, covs, weights = gmm['means'], gmm['covars'], gmm['weights']
+    else:  # sklearn GMM object
+        means, covs, weights = gmm.means_, gmm.covars_, gmm.weights_
+    return {'means': np.asarray(means, np.float32),
+            'covs': np.asarray(covs, np.float32),
+            'weights': np.asarray(weights, np.float32)}
+
+
+def synthetic_gmm_prior(num_gaussians: int = 8, dim: int = 69, seed: int = 0):
+    """Synthetic GMM prior with the gmm_08.pkl schema."""
+    rng = np.random.RandomState(seed)
+    means = rng.randn(num_gaussians, dim).astype(np.float32) * 0.1
+    covs = []
+    for _ in range(num_gaussians):
+        a = rng.randn(dim, dim).astype(np.float32) * 0.05
+        covs.append(a @ a.T + np.eye(dim, dtype=np.float32) * 0.5)
+    weights = rng.dirichlet(np.ones(num_gaussians)).astype(np.float32)
+    return {'means': means, 'covs': np.stack(covs), 'weights': weights}

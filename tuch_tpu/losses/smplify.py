@@ -1,0 +1,182 @@
+"""Fitting losses for SMPLify-DC: reprojection, priors, and contact terms.
+
+TPU-native redesign of tuch/smplify/losses.py. The reference loops over the
+batch in Python for the contact terms (losses.py:74-117); here every term is
+batched, the in/out winding test is computed for the whole batch in one
+streamed pass, and per-sample enablement (ignore_idxs, has_discrete_contact)
+becomes masking -- so the whole loss is one jit-compiled XLA program.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tuch_tpu.losses.prior import GMMPrior, gmm_prior_nll
+from tuch_tpu.ops import contact as contact_ops
+from tuch_tpu.ops.segments import SegmentTables, forgive_segment_interiors
+from tuch_tpu.utils.projection import perspective_projection
+
+
+def gmof(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Geman-McClure robust error (tuch/smplify/losses.py:25-32)."""
+    x2 = x ** 2
+    s2 = sigma ** 2
+    return (s2 * x2) / (s2 + x2)
+
+
+def angle_prior(body_pose: jnp.ndarray) -> jnp.ndarray:
+    """Penalty for unnatural knee/elbow bending.
+
+    body_pose: (B, 69). Same joints/signs as tuch/smplify/losses.py:155-162.
+    """
+    idx = jnp.array([52, 55, 9, 12])  # 55-3, 58-3, 12-3, 15-3
+    sign = jnp.array([1.0, -1.0, -1.0, -1.0])
+    return jnp.exp(body_pose[:, idx] * sign) ** 2
+
+
+def reprojection_term(model_joints, camera_t, camera_center, joints_2d,
+                      joints_conf, focal_length=5000.0, sigma=100.0):
+    """Per-joint conf^2-weighted robust reprojection error, (B, J)."""
+    B = model_joints.shape[0]
+    rot = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    proj = perspective_projection(model_joints, rot, camera_t, focal_length,
+                                  camera_center)
+    err = gmof(proj - joints_2d, sigma).sum(axis=-1)
+    return (joints_conf ** 2) * err
+
+
+def camera_fitting_loss(model_joints, betas, camera_t, camera_t_est,
+                        camera_center, joints_2d, joints_conf,
+                        focal_length=5000.0, depth_loss_weight=100.0,
+                        sigma=100.0, shape_prior_weight=0.0):
+    """Stage-1 loss (camera translation [+ betas]), scalar.
+
+    Mirrors tuch/smplify/losses.py:125-152.
+    """
+    reproj = reprojection_term(model_joints, camera_t, camera_center,
+                               joints_2d, joints_conf, focal_length, sigma)
+    depth = (depth_loss_weight ** 2) * (camera_t[:, 2]
+                                        - camera_t_est[:, 2]) ** 2
+    shape_prior = (shape_prior_weight ** 2) * (betas ** 2).sum(axis=-1)
+    return (reproj.sum(axis=-1) + depth + shape_prior).sum()
+
+
+def body_fitting_loss(body_pose, betas, model_joints, camera_t,
+                      camera_center, joints_2d, joints_conf,
+                      prior: GMMPrior, focal_length=5000.0, sigma=100.0,
+                      pose_prior_weight=4.78, shape_prior_weight=5.0,
+                      angle_prior_weight=15.2, output='sum'):
+    """SPIN-style stage-2 loss without contact.
+
+    Mirrors tuch/smplify/losses.py:164-198. output='reprojection' returns the
+    per-joint (B, J) reprojection term used for fit acceptance.
+    """
+    reproj = reprojection_term(model_joints, camera_t, camera_center,
+                               joints_2d, joints_conf, focal_length, sigma)
+    if output == 'reprojection':
+        return reproj
+    pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
+    angle_l = (angle_prior_weight ** 2) * angle_prior(body_pose).sum(axis=-1)
+    shape_l = (shape_prior_weight ** 2) * (betas ** 2).sum(axis=-1)
+    total = reproj.sum(axis=-1) + pose_prior_l + angle_l + shape_l
+    return total.sum()
+
+
+class ContactAssets(NamedTuple):
+    """Static data for the contact terms (device arrays)."""
+    geomask: jnp.ndarray     # (V, V) bool -- geodesically distant pairs
+    faces: jnp.ndarray       # (F, 3) int32
+    region_idx_a: jnp.ndarray   # (P, R)
+    region_idx_b: jnp.ndarray   # (P, R)
+    region_mask_a: jnp.ndarray  # (P, R)
+    region_mask_b: jnp.ndarray  # (P, R)
+    segment_tables: Optional[SegmentTables] = None
+
+
+def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
+                       euclthres: float, block_f: int = 2048):
+    """Shared machinery: exterior flags + geodesic-masked nearest distances.
+
+    verts: (B, V, 3). Returns (exterior (B, V) bool [stop-grad],
+    v2v_min (B, V) differentiable euclidean distance to the masked nearest
+    vertex, in_contact (B, V) bool [stop-grad]).
+
+    The winding test and argmin are under stop_gradient exactly like the
+    reference's no_grad blocks (tuch/smplify/losses.py:79-93); the returned
+    distance re-gathers through the argmin so gradients flow to both
+    endpoints (losses.py:98).
+    """
+    vd = jax.lax.stop_gradient(verts)
+    wn = contact_ops.winding_numbers_same_tris(vd, vd, assets.faces,
+                                               block_f=block_f)
+    exterior = wn <= 0.99
+    if assets.segment_tables is not None:
+        exterior = forgive_segment_interiors(assets.segment_tables, vd,
+                                             exterior)
+
+    _, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
+    nearest = jnp.take_along_axis(verts, argmin[..., None], axis=1)
+    v2v_min = jnp.linalg.norm(verts - nearest, axis=-1)
+    in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
+    return exterior, v2v_min, in_contact
+
+
+def push_pull_terms(exterior, v2v_min, in_contact):
+    """The TUCH push/pull contact energies, per sample (B,).
+
+    Pull: exterior vertices already in contact are pulled tight
+    (0.005 * tanh(d / 0.005)^2). Push: interior vertices are pushed out
+    (1.0 * tanh(d / 0.04)^2). Same constants as tuch/smplify/losses.py:95-105.
+    """
+    pull = 0.005 * jnp.tanh(v2v_min / 0.005) ** 2
+    push = 1.0 * jnp.tanh(v2v_min / 0.04) ** 2
+    pull_mask = (exterior & in_contact).astype(v2v_min.dtype)
+    push_mask = (~exterior).astype(v2v_min.dtype)
+    return (pull * pull_mask).sum(axis=-1) + (push * push_mask).sum(axis=-1)
+
+
+def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
+                         verts, camera_t, camera_center, joints_2d,
+                         joints_conf, prior: GMMPrior,
+                         assets: ContactAssets,
+                         gt_contact: jnp.ndarray,
+                         ignore_idxs: jnp.ndarray,
+                         has_discrete_contact: jnp.ndarray,
+                         euclthres: float,
+                         focal_length=5000.0, sigma=100.0,
+                         pose_prior_weight=1.0,
+                         contact_loss_weight=1000.0):
+    """Stage-2 loss with self-contact, scalar.
+
+    Fully-batched equivalent of tuch/smplify/losses.py:34-123:
+      total = sum_b [ reproj_b + pose_prior_b + 10 * contact_b
+                      + w * r2r_b ]
+    where contact_b and r2r_b are masked to ~ignore_idxs (samples with GT
+    SMPL are not contact-optimized) and r2r additionally to
+    has_discrete_contact.
+    """
+    reproj = reprojection_term(model_joints, camera_t, camera_center,
+                               joints_2d, joints_conf, focal_length,
+                               sigma).sum(axis=-1)
+    pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
+
+    exterior, v2v_min, in_contact = self_contact_terms(
+        verts, assets, euclthres)
+    contact_b = push_pull_terms(exterior, v2v_min, in_contact)
+
+    # Region-to-region term for discretely annotated contact pairs: the sum
+    # over annotated pairs of the min squared inter-region distance.
+    pair_min = contact_ops.region_pair_min_dists(
+        verts, assets.region_idx_a, assets.region_idx_b,
+        assets.region_mask_a, assets.region_mask_b)  # (B, P)
+    r2r_b = (pair_min * gt_contact).sum(axis=-1)
+
+    opt_mask = (~ignore_idxs).astype(verts.dtype)
+    contact_b = contact_b * opt_mask
+    r2r_b = r2r_b * opt_mask * has_discrete_contact.astype(verts.dtype)
+
+    total = reproj + pose_prior_l + 10.0 * contact_b \
+        + contact_loss_weight * r2r_b
+    return total.sum()

@@ -1,0 +1,144 @@
+"""HMR: ResNet-50 backbone + iterative-error-feedback SMPL regressor (Flax).
+
+TPU-native re-implementation of the reference network
+(tuch/models/hmr.py:27-183). Differences by design:
+  * NHWC layout (TPU-preferred); the torch-checkpoint converter transposes.
+  * Global mean pooling instead of a fixed 7x7 AvgPool, numerically identical
+    for 224x224 inputs and shape-polymorphic for others.
+  * The 3 IEF refinement steps are a static unrolled loop under jit.
+  * Optional bfloat16 compute with float32 params for the MXU path.
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tuch_tpu.utils.rotations import rot6d_to_rotmat
+
+NPOSE = 24 * 6
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1 bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        y = norm('bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name='conv2')(y)
+        y = norm('bn2')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv3')(y)
+        y = norm('bn3')(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype, name='downsample_conv')(x)
+            residual = norm('downsample_bn')(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 feature extractor -> (B, 2048) pooled features."""
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, (size, feat) in enumerate(
+                zip(self.stage_sizes, (64, 128, 256, 512))):
+            for j in range(size):
+                strides = 2 if (i > 0 and j == 0) else 1
+                x = Bottleneck(feat, strides=strides, downsample=(j == 0),
+                               dtype=self.dtype,
+                               name=f'layer{i + 1}_{j}')(x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+
+
+class HMR(nn.Module):
+    """Iterative SMPL regressor.
+
+    __call__(images (B, H, W, 3)) -> (rotmat (B, 24, 3, 3), betas (B, 10),
+    cam (B, 3)). ``mean_params`` = (pose6d (144,), shape (10,), cam (3,))
+    initializes the IEF loop (reference buffers: tuch/models/hmr.py:105-111).
+    """
+    mean_pose6d: np.ndarray
+    mean_shape: np.ndarray
+    mean_cam: np.ndarray
+    n_iter: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False,
+                 init_pose=None, init_shape=None, init_cam=None):
+        B = images.shape[0]
+        xf = ResNet50(dtype=self.dtype, name='backbone')(
+            images.astype(self.dtype), train=train)
+        xf = xf.astype(jnp.float32)
+
+        pred_pose = (jnp.broadcast_to(jnp.asarray(self.mean_pose6d), (B, NPOSE))
+                     if init_pose is None else init_pose)
+        pred_shape = (jnp.broadcast_to(jnp.asarray(self.mean_shape), (B, 10))
+                      if init_shape is None else init_shape)
+        pred_cam = (jnp.broadcast_to(jnp.asarray(self.mean_cam), (B, 3))
+                    if init_cam is None else init_cam)
+
+        fc1 = nn.Dense(1024, name='fc1')
+        fc2 = nn.Dense(1024, name='fc2')
+        drop1 = nn.Dropout(0.5, deterministic=not train)
+        drop2 = nn.Dropout(0.5, deterministic=not train)
+        small_init = nn.initializers.variance_scaling(
+            0.01 ** 2, 'fan_avg', 'uniform')  # xavier_uniform gain=0.01
+        decpose = nn.Dense(NPOSE, kernel_init=small_init, name='decpose')
+        decshape = nn.Dense(10, kernel_init=small_init, name='decshape')
+        deccam = nn.Dense(3, kernel_init=small_init, name='deccam')
+
+        for _ in range(self.n_iter):
+            xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam],
+                                 axis=1)
+            # Note: the head is linear->dropout->linear->dropout with no
+            # activation, matching the reference regressor head.
+            xc = drop1(fc1(xc))
+            xc = drop2(fc2(xc))
+            pred_pose = decpose(xc) + pred_pose
+            pred_shape = decshape(xc) + pred_shape
+            pred_cam = deccam(xc) + pred_cam
+
+        rotmat = rot6d_to_rotmat(pred_pose).reshape(B, 24, 3, 3)
+        return rotmat, pred_shape, pred_cam
+
+
+def create_hmr(mean_pose6d, mean_shape, mean_cam, n_iter: int = 3,
+               dtype=jnp.float32) -> HMR:
+    return HMR(mean_pose6d=np.asarray(mean_pose6d, np.float32),
+               mean_shape=np.asarray(mean_shape, np.float32),
+               mean_cam=np.asarray(mean_cam, np.float32),
+               n_iter=n_iter, dtype=dtype)
+
+
+def init_hmr(model: HMR, rng, img_res: int = 224):
+    """Initialize parameters; returns the flax variables dict."""
+    dummy = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
+    return model.init({'params': rng, 'dropout': rng}, dummy, train=False)

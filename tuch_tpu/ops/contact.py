@@ -1,0 +1,280 @@
+"""Self-contact geometry ops: pairwise distances, winding numbers, region
+signatures.
+
+TPU-native redesign of tuch/utils/contact.py. The reference materializes a
+(Q, F) solid-angle tensor plus (Q, F, 3, 3) intermediates per sample
+(contact.py:79-109) and a full (V, V) distance matrix (contact.py:23-47),
+looping over the batch in Python "because of memory" (tuch/train/loss.py:246).
+Here both quadratics are *streamed*: triangle/column blocks are reduced on
+the fly inside `lax.scan`, nothing quadratic is ever materialized, and the
+batch is handled by `vmap`. A fused Pallas kernel path for the hottest op
+lives in contact_pallas.py; these jnp versions are the reference
+implementations and the fallback on CPU.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INV_4PI = 1.0 / (4.0 * np.pi)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise squared distances
+# ---------------------------------------------------------------------------
+
+def pairwise_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Squared pairwise distances via Gram matrices (MXU-friendly).
+
+    x: (B, N, 3), y: (B, M, 3) -> (B, N, M). Same quantity as
+    tuch/utils/contact.py:23-47 (squared=True).
+    """
+    xx = jnp.sum(x * x, axis=-1)
+    yy = jnp.sum(y * y, axis=-1)
+    xy = jnp.einsum('bnd,bmd->bnm', x, y)
+    return xx[:, :, None] + yy[:, None, :] - 2.0 * xy
+
+
+# ---------------------------------------------------------------------------
+# Solid angles / generalized winding numbers
+# ---------------------------------------------------------------------------
+
+def solid_angles(points: jnp.ndarray, triangles: jnp.ndarray) -> jnp.ndarray:
+    """Van Oosterom-Strackee solid angles, (B,Q,3) x (B,F,3,3) -> (B,Q,F).
+
+    Direct (memory-hungry) version matching tuch/utils/contact.py:49-109;
+    used for testing and tiny meshes. Use winding_numbers() for real sizes.
+    """
+    centered = triangles[:, None] - points[:, :, None, None]  # (B,Q,F,3,3)
+    norms = jnp.linalg.norm(centered, axis=-1)                # (B,Q,F,3)
+    cross = jnp.cross(centered[..., 1, :], centered[..., 2, :])
+    numerator = jnp.sum(centered[..., 0, :] * cross, axis=-1)
+    dot01 = jnp.sum(centered[..., 0, :] * centered[..., 1, :], axis=-1)
+    dot12 = jnp.sum(centered[..., 1, :] * centered[..., 2, :], axis=-1)
+    dot02 = jnp.sum(centered[..., 0, :] * centered[..., 2, :], axis=-1)
+    denominator = (norms.prod(axis=-1)
+                   + dot01 * norms[..., 2]
+                   + dot02 * norms[..., 1]
+                   + dot12 * norms[..., 0])
+    return 2.0 * jnp.arctan2(numerator, denominator)
+
+
+def _solid_angle_block(points: jnp.ndarray, tri_block: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Sum over a triangle block of solid angles for each point.
+
+    points: (Q, 3); tri_block: (f, 3, 3) -> (Q,) partial solid-angle sums.
+    Layout is struct-of-arrays over the 9 triangle coordinates so every
+    intermediate is a clean (Q, f) VPU tile.
+    """
+    q = points  # (Q, 3)
+    a = tri_block[:, 0, :][None] - q[:, None, :]   # (Q, f, 3)
+    b = tri_block[:, 1, :][None] - q[:, None, :]
+    c = tri_block[:, 2, :][None] - q[:, None, :]
+
+    la = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    lb = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    lc = jnp.sqrt(jnp.sum(c * c, axis=-1))
+
+    cross = jnp.cross(b, c)
+    numer = jnp.sum(a * cross, axis=-1)
+    dab = jnp.sum(a * b, axis=-1)
+    dbc = jnp.sum(b * c, axis=-1)
+    dac = jnp.sum(a * c, axis=-1)
+    denom = la * lb * lc + dab * lc + dac * lb + dbc * la
+    return jnp.sum(2.0 * jnp.arctan2(numer, denom), axis=-1)  # (Q,)
+
+
+def winding_numbers(points: jnp.ndarray, triangles: jnp.ndarray,
+                    block_f: int = 1024) -> jnp.ndarray:
+    """Generalized winding numbers, streamed over triangle blocks.
+
+    points: (B, Q, 3); triangles: (B, F, 3, 3) -> (B, Q).
+    Equivalent to tuch/utils/contact.py:112-147 but never materializes the
+    (Q, F) matrix: a lax.scan accumulates per-block solid-angle sums.
+    """
+
+    def single(points_1, tris_1):
+        F = tris_1.shape[0]
+        pad = (-F) % block_f
+        if pad:
+            # Degenerate zero-area triangles contribute zero solid angle.
+            far = jnp.broadcast_to(
+                jnp.array([1e8, 1e8, 1e8], tris_1.dtype), (pad, 3, 3))
+            tris_1 = jnp.concatenate([tris_1, far], axis=0)
+        blocks = tris_1.reshape(-1, block_f, 3, 3)
+
+        def body(acc, tri_block):
+            return acc + _solid_angle_block(points_1, tri_block), None
+
+        acc0 = jnp.zeros(points_1.shape[0], dtype=points_1.dtype)
+        acc, _ = jax.lax.scan(body, acc0, blocks)
+        return acc * INV_4PI
+
+    return jax.vmap(single)(points, triangles)
+
+
+def winding_numbers_same_tris(points: jnp.ndarray, vertices: jnp.ndarray,
+                              faces: jnp.ndarray, block_f: int = 1024
+                              ) -> jnp.ndarray:
+    """Winding numbers where triangles come from (vertices, faces).
+
+    points: (B, Q, 3); vertices: (B, V, 3); faces: (F, 3) static.
+    Gathers triangle blocks inside the scan so the (F, 3, 3) triangle tensor
+    per block is built on the fly.
+    """
+
+    def single(points_1, verts_1):
+        F = faces.shape[0]
+        pad = (-F) % block_f
+        f = faces
+        if pad:
+            f = jnp.concatenate(
+                [f, jnp.zeros((pad, 3), dtype=f.dtype)], axis=0)
+        fblocks = f.reshape(-1, block_f, 3)
+        valid = jnp.arange(fblocks.shape[0] * block_f).reshape(
+            -1, block_f) < F
+
+        def body(acc, xs):
+            fb, vb = xs
+            tri = verts_1[fb]  # (block_f, 3, 3)
+            contrib = _solid_angle_block_masked(points_1, tri, vb)
+            return acc + contrib, None
+
+        acc0 = jnp.zeros(points_1.shape[0], dtype=points_1.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (fblocks, valid))
+        return acc * INV_4PI
+
+    return jax.vmap(single, in_axes=(0, 0))(points, vertices)
+
+
+def _solid_angle_block_masked(points, tri_block, valid):
+    q = points
+    a = tri_block[:, 0, :][None] - q[:, None, :]
+    b = tri_block[:, 1, :][None] - q[:, None, :]
+    c = tri_block[:, 2, :][None] - q[:, None, :]
+    la = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    lb = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    lc = jnp.sqrt(jnp.sum(c * c, axis=-1))
+    cross = jnp.cross(b, c)
+    numer = jnp.sum(a * cross, axis=-1)
+    dab = jnp.sum(a * b, axis=-1)
+    dbc = jnp.sum(b * c, axis=-1)
+    dac = jnp.sum(a * c, axis=-1)
+    denom = la * lb * lc + dab * lc + dac * lb + dbc * la
+    ang = 2.0 * jnp.arctan2(numer, denom)
+    ang = jnp.where(valid[None, :], ang, 0.0)
+    return jnp.sum(ang, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic-masked nearest-vertex search (no (V, V) materialization)
+# ---------------------------------------------------------------------------
+
+def masked_min_dist(verts: jnp.ndarray, geomask: jnp.ndarray,
+                    block_m: int = 1024):
+    """For each vertex, the min squared distance (and argmin) to any vertex
+    allowed by the geodesic mask.
+
+    verts: (B, V, 3); geomask: (V, V) bool (True = pair allowed).
+    Returns (min_d2 (B, V), argmin (B, V) int32). Replaces the
+    "v2v[:, ~geomask] = inf; min" pattern (tuch/train/loss.py:269-270)
+    without materializing v2v: scans over column blocks, using the Gram
+    trick inside each block so the matmul rides the MXU.
+    """
+
+    def single(v):  # (V, 3)
+        V = v.shape[0]
+        pad = (-V) % block_m
+        vp = jnp.concatenate(
+            [v, jnp.full((pad, 3), 1e8, v.dtype)], axis=0) if pad else v
+        nb = vp.shape[0] // block_m
+        col_blocks = vp.reshape(nb, block_m, 3)
+        xx = jnp.sum(v * v, axis=-1)  # (V,)
+
+        def body(carry, xs):
+            best_d2, best_idx = carry
+            blk_idx, cols = xs  # cols: (block_m, 3)
+            yy = jnp.sum(cols * cols, axis=-1)
+            xy = v @ cols.T  # (V, block_m) -- MXU
+            d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+            col_ids = blk_idx * block_m + jnp.arange(block_m)
+            # Gather this block's columns of the (static) geodesic mask.
+            mask_blk = jnp.take(geomask, jnp.minimum(col_ids, V - 1), axis=1)
+            mask_blk = mask_blk & (col_ids[None, :] < V)
+            d2 = jnp.where(mask_blk, d2, jnp.inf)
+            blk_min = jnp.min(d2, axis=1)
+            blk_arg = col_ids[jnp.argmin(d2, axis=1)]
+            upd = blk_min < best_d2
+            return (jnp.where(upd, blk_min, best_d2),
+                    jnp.where(upd, blk_arg, best_idx)), None
+
+        init = (jnp.full((V,), jnp.inf, v.dtype),
+                jnp.zeros((V,), jnp.int32))
+        (min_d2, argmin), _ = jax.lax.scan(
+            body, init, (jnp.arange(nb), col_blocks))
+        return min_d2, argmin.astype(jnp.int32)
+
+    return jax.vmap(single)(verts)
+
+
+# ---------------------------------------------------------------------------
+# Region-pair contact signature
+# ---------------------------------------------------------------------------
+
+def build_region_pairs(classes, csig, max_region_size: int | None = None):
+    """Pack the DSC region-pair tables into fixed-size padded index arrays.
+
+    classes: list of (name_a, name_b); csig: name -> vertex ids.
+    Returns (idx_a (P, R), idx_b (P, R), mask_a (P, R), mask_b (P, R))
+    as numpy arrays, where R = max region size (padded with index 0).
+    """
+    if max_region_size is None:
+        max_region_size = max(len(np.asarray(v)) for v in csig.values())
+    P = len(classes)
+    R = max_region_size
+    idx_a = np.zeros((P, R), np.int32)
+    idx_b = np.zeros((P, R), np.int32)
+    mask_a = np.zeros((P, R), bool)
+    mask_b = np.zeros((P, R), bool)
+    for p, (na, nb) in enumerate(classes):
+        va = np.asarray(csig[na])[:R]
+        vb = np.asarray(csig[nb])[:R]
+        idx_a[p, :len(va)] = va
+        idx_b[p, :len(vb)] = vb
+        mask_a[p, :len(va)] = True
+        mask_b[p, :len(vb)] = True
+    return idx_a, idx_b, mask_a, mask_b
+
+
+def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b
+                          ) -> jnp.ndarray:
+    """Min squared distance between each annotated region pair.
+
+    verts: (B, V, 3) -> (B, P). Replaces the per-pair python loop in
+    tuch/train/train_module.py:83-91 (contact_from_verts) with one batched
+    gather + blocked pairwise min; differentiable (min subgradient), exactly
+    like torch.min in the reference.
+    """
+
+    def single(v):  # (V, 3)
+        va = v[idx_a]  # (P, R, 3)
+        vb = v[idx_b]
+        d2 = (jnp.sum(va * va, -1)[:, :, None]
+              + jnp.sum(vb * vb, -1)[:, None, :]
+              - 2.0 * jnp.einsum('prd,psd->prs', va, vb))
+        allowed = mask_a[:, :, None] & mask_b[:, None, :]
+        d2 = jnp.where(allowed, d2, jnp.inf)
+        return jnp.min(d2.reshape(d2.shape[0], -1), axis=-1)
+
+    return jax.vmap(single)(verts)
+
+
+def batch_face_normals(triangles: jnp.ndarray) -> jnp.ndarray:
+    """(..., F, 3, 3) -> unit normals (..., F, 3). tuch/train/loss.py:30-41."""
+    e0 = triangles[..., 1, :] - triangles[..., 0, :]
+    e1 = triangles[..., 2, :] - triangles[..., 0, :]
+    n = jnp.cross(e0, e1)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
