@@ -1,0 +1,87 @@
+"""HMR regressor tests: shapes, IEF behavior, train/eval modes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tuch_tpu import assets
+from tuch_tpu.models import hmr as H
+
+
+def make_model():
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    return H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                        extras.mean_cam)
+
+
+def test_hmr_output_shapes_and_validity():
+    model = make_model()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    x = jnp.zeros((2, 64, 64, 3))
+    rotmat, betas, cam = model.apply(variables, x, train=False)
+    assert rotmat.shape == (2, 24, 3, 3)
+    assert betas.shape == (2, 10)
+    assert cam.shape == (2, 3)
+    # valid rotations
+    eye = np.einsum('bjik,bjlk->bjil', np.asarray(rotmat),
+                    np.asarray(rotmat))
+    np.testing.assert_allclose(
+        eye, np.tile(np.eye(3), (2, 24, 1, 1)), atol=1e-4)
+
+
+def test_hmr_fresh_init_near_mean_params():
+    """decpose/decshape/deccam use tiny init, so a fresh model's output
+    stays near the mean parameters (reference init gain 0.01,
+    tuch/models/hmr.py:93-95)."""
+    model = make_model()
+    variables = H.init_hmr(model, jax.random.PRNGKey(1), img_res=64)
+    x = jnp.ones((1, 64, 64, 3)) * 0.5
+    rotmat, betas, cam = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(cam[0]),
+                               np.asarray(model.mean_cam), atol=0.3)
+    # identity-ish rotations from identity 6d mean
+    np.testing.assert_allclose(
+        np.asarray(rotmat[0, 0]), np.eye(3), atol=0.3)
+
+
+def test_hmr_train_mode_updates_batch_stats():
+    model = make_model()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 64, 64, 3).astype(np.float32))
+    (out, new_state) = model.apply(
+        variables, x, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(2)})
+    before = jax.tree_util.tree_leaves(variables['batch_stats'])
+    after = jax.tree_util.tree_leaves(new_state['batch_stats'])
+    changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+    assert changed
+
+
+def test_hmr_ief_uses_init():
+    """Passing a different init pose changes the output (IEF loop)."""
+    model = make_model()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    x = jnp.ones((1, 64, 64, 3))
+    r1, _, _ = model.apply(variables, x, train=False)
+    init = jnp.asarray(model.mean_pose6d)[None] + 0.5
+    r2, _, _ = model.apply(variables, x, train=False, init_pose=init)
+    assert not np.allclose(np.asarray(r1), np.asarray(r2), atol=1e-3)
+
+
+def test_hmr_jit_grad():
+    model = make_model()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+
+    @jax.jit
+    def loss_fn(params, batch_stats, x):
+        (rotmat, betas, cam), _ = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, x, train=True,
+            mutable=['batch_stats'], rngs={'dropout': jax.random.PRNGKey(0)})
+        return jnp.sum(rotmat ** 2) + jnp.sum(betas ** 2) + jnp.sum(cam ** 2)
+
+    x = jnp.ones((2, 64, 64, 3))
+    g = jax.grad(loss_fn)(variables['params'], variables['batch_stats'], x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)

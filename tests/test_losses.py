@@ -1,0 +1,213 @@
+"""Tests for prior, smplify losses, and the regressor loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tuch_tpu import assets, constants
+from tuch_tpu.losses import prior as prior_mod
+from tuch_tpu.losses import smplify as SL
+from tuch_tpu.losses import regressor as RL
+from tuch_tpu.ops import contact as contact_ops
+from tuch_tpu.ops.segments import build_segment_tables
+
+
+def make_prior():
+    return prior_mod.create_gmm_prior(assets.synthetic_gmm_prior())
+
+
+def make_contact_assets(tiny, with_segments=False):
+    model, extras = tiny
+    ia, ib, ma, mb = contact_ops.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+    seg = None
+    if with_segments:
+        seg = build_segment_tables(extras.segments, np.asarray(model.faces),
+                                   model.v_template.shape[0])
+    return SL.ContactAssets(
+        geomask=jnp.asarray(extras.geodists > 0.3),
+        faces=jnp.asarray(model.faces),
+        region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
+        region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb),
+        segment_tables=seg)
+
+
+def test_gmof():
+    x = jnp.array([0.0, 1.0, 100.0, 1e6])
+    out = np.asarray(SL.gmof(x, 100.0))
+    assert out[0] == 0.0
+    # saturates at sigma^2
+    np.testing.assert_allclose(out[3], 100.0 ** 2, rtol=1e-3)
+    np.testing.assert_allclose(out[2], 100.0 ** 2 / 2, rtol=1e-5)
+
+
+def test_gmm_prior_lowest_at_mean():
+    p = make_prior()
+    at_mean = np.asarray(prior_mod.gmm_prior_nll(p, p.means[:1]))
+    away = np.asarray(prior_mod.gmm_prior_nll(p, p.means[:1] + 3.0))
+    assert at_mean[0] < away[0]
+
+
+def test_gmm_prior_matches_manual(rng):
+    gmm = assets.synthetic_gmm_prior()
+    p = prior_mod.create_gmm_prior(gmm)
+    pose = rng.randn(3, 69).astype(np.float32)
+    out = np.asarray(prior_mod.gmm_prior_nll(p, jnp.asarray(pose)))
+    # manual
+    precisions = np.stack([np.linalg.inv(c) for c in gmm['covs']])
+    sqrdets = np.sqrt([np.linalg.det(c) for c in gmm['covs']])
+    const = (2 * np.pi) ** (69 / 2)
+    nw = gmm['weights'] / (const * (sqrdets / sqrdets.min()))
+    vals = []
+    for b in range(3):
+        comp = []
+        for m in range(len(nw)):
+            d = pose[b] - gmm['means'][m]
+            comp.append(0.5 * d @ precisions[m] @ d - np.log(nw[m]))
+        vals.append(min(comp))
+    np.testing.assert_allclose(out, vals, rtol=1e-3)
+
+
+def test_angle_prior_sign():
+    pose = np.zeros((2, 69), np.float32)
+    base = np.asarray(SL.angle_prior(jnp.asarray(pose))).sum()
+    # bending a knee the "wrong" way increases the prior
+    pose[0, 52] = 1.0
+    out = np.asarray(SL.angle_prior(jnp.asarray(pose)))
+    assert out[0].sum() > base / 2 + out[1].sum() / 2
+
+
+def test_camera_fitting_loss_decreases_with_truth(rng, tiny_smpl):
+    model, _ = tiny_smpl
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    from tuch_tpu.utils.projection import perspective_projection
+    out = smpl_forward_pose72(model, jnp.zeros((1, 10)), jnp.zeros((1, 72)))
+    t_gt = jnp.array([[0.0, 0.0, 20.0]])
+    cc = jnp.full((1, 2), 112.0)
+    proj = perspective_projection(out.joints, jnp.eye(3)[None], t_gt,
+                                  5000.0, cc)
+    j2d = jnp.asarray(proj)
+    conf = jnp.ones((1, 49))
+    good = SL.camera_fitting_loss(out.joints, jnp.zeros((1, 10)), t_gt,
+                                  t_gt, cc, j2d, conf)
+    bad = SL.camera_fitting_loss(out.joints, jnp.zeros((1, 10)),
+                                 t_gt + jnp.array([[0.3, 0.0, 1.0]]),
+                                 t_gt, cc, j2d, conf)
+    assert float(good) < float(bad)
+
+
+def test_self_contact_terms_shapes(tiny_smpl, rng):
+    ca = make_contact_assets(tiny_smpl, with_segments=True)
+    model, _ = tiny_smpl
+    V = model.v_template.shape[0]
+    verts = jnp.asarray(np.tile(np.asarray(model.v_template)[None],
+                                (2, 1, 1)))
+    ext, v2v, inc = SL.self_contact_terms(verts, ca, euclthres=0.02)
+    assert ext.shape == (2, V) and v2v.shape == (2, V)
+    # rest sphere: everything exterior, nothing interior
+    assert np.asarray(ext).mean() > 0.95
+
+
+def test_contact_fitting_loss_masking(tiny_smpl, rng):
+    """ignored samples contribute no contact/r2r terms."""
+    ca = make_contact_assets(tiny_smpl)
+    model, extras = tiny_smpl
+    p = make_prior()
+    V = model.v_template.shape[0]
+    verts = jnp.asarray(rng.randn(2, V, 3).astype(np.float32) * 0.3)
+    joints = jnp.asarray(rng.randn(2, 49, 3).astype(np.float32))
+    P = len(extras.contact_classes)
+    args = dict(
+        body_pose=jnp.zeros((2, 69)), global_orient=jnp.zeros((2, 3)),
+        betas=jnp.zeros((2, 10)), model_joints=joints, verts=verts,
+        camera_t=jnp.array([[0., 0., 20.]] * 2),
+        camera_center=jnp.full((2, 2), 112.0),
+        joints_2d=jnp.zeros((2, 49, 2)), joints_conf=jnp.zeros((2, 49)),
+        prior=p, assets=ca, gt_contact=jnp.ones((2, P)),
+        euclthres=0.02, contact_loss_weight=1000.0)
+    all_ignored = SL.contact_fitting_loss(
+        ignore_idxs=jnp.array([True, True]),
+        has_discrete_contact=jnp.array([True, True]), **args)
+    none_ignored = SL.contact_fitting_loss(
+        ignore_idxs=jnp.array([False, False]),
+        has_discrete_contact=jnp.array([True, True]), **args)
+    # with zero kp conf, remaining diff is purely contact terms
+    assert float(none_ignored) != float(all_ignored)
+
+
+def test_regressor_loss_components(tiny_smpl, rng):
+    model, _ = tiny_smpl
+    V = model.v_template.shape[0]
+    B = 4
+    w = RL.LossWeights(contact=0.0)
+    pred_rotmat = jnp.tile(jnp.eye(3)[None, None], (B, 24, 1, 1))
+    total, d = RL.regressor_loss(
+        w, pred_rotmat, jnp.zeros((B, 10)), jnp.zeros((B, 72)),
+        jnp.zeros((B, 10)), jnp.zeros((B, 49, 2)),
+        jnp.concatenate([jnp.zeros((B, 49, 2)), jnp.ones((B, 49, 1))], -1),
+        jnp.zeros((B, 49, 3)), jnp.zeros((B, 24, 4)),
+        jnp.zeros(B, bool), jnp.zeros((B, V, 3)), jnp.zeros((B, V, 3)),
+        jnp.ones((B, 3)), jnp.ones(B, bool), jnp.ones(B, bool))
+    # identity rotmat == zero-pose rodrigues -> zero pose loss
+    np.testing.assert_allclose(float(d['loss_regr_pose']), 0.0, atol=1e-8)
+    np.testing.assert_allclose(float(d['loss_regr_betas']), 0.0, atol=1e-8)
+    assert np.isfinite(float(total))
+
+
+def test_regressor_loss_empty_masks(tiny_smpl):
+    """All-invalid masks must give 0 (reference returns 0 on empty)."""
+    model, _ = tiny_smpl
+    V = model.v_template.shape[0]
+    B = 2
+    w = RL.LossWeights(contact=0.0)
+    pred_rotmat = jnp.tile(jnp.eye(3)[None, None], (B, 24, 1, 1))
+    _, d = RL.regressor_loss(
+        w, pred_rotmat, jnp.zeros((B, 10)), jnp.zeros((B, 72)),
+        jnp.zeros((B, 10)), jnp.zeros((B, 49, 2)),
+        jnp.ones((B, 49, 3)), jnp.zeros((B, 49, 3)), jnp.zeros((B, 24, 4)),
+        jnp.zeros(B, bool), jnp.zeros((B, V, 3)), jnp.zeros((B, V, 3)),
+        jnp.ones((B, 3)), jnp.zeros(B, bool), jnp.zeros(B, bool))
+    assert float(d['loss_keypoints']) == 0.0
+    assert float(d['loss_regr_pose']) == 0.0
+    assert float(d['loss_keypoints_3d']) == 0.0
+
+
+def test_contact_loss_pull_tightens(tiny_smpl):
+    """Pull energy decreases as geodesically-distant surfaces come into
+    contact: squashing the body so opposite walls nearly touch must lower
+    the (saturated) pull term -- the gradient pulls contact tight."""
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    v2 = v.copy()
+    v2[:, 1] *= 0.02  # walls ~0.007 apart, geodesically far
+    loss_rest = RL.contact_loss(jnp.asarray(v)[None], ca,
+                                jnp.array([True]), euclthres=0.02)
+    loss_squashed = RL.contact_loss(jnp.asarray(v2)[None], ca,
+                                    jnp.array([True]), euclthres=0.02)
+    assert float(loss_squashed) < float(loss_rest)
+
+
+def test_push_pull_terms_formula(rng):
+    """Golden-value check of the push/pull energies."""
+    B, V = 2, 7
+    d = jnp.asarray(rng.rand(B, V).astype(np.float32) * 0.1)
+    ext = jnp.asarray(rng.rand(B, V) > 0.5)
+    inc = jnp.asarray(rng.rand(B, V) > 0.5)
+    out = np.asarray(SL.push_pull_terms(ext, d, inc))
+    d_np, ext_np, inc_np = map(np.asarray, (d, ext, inc))
+    pull = 0.005 * np.tanh(d_np / 0.005) ** 2
+    push = 1.0 * np.tanh(d_np / 0.04) ** 2
+    expect = (pull * (ext_np & inc_np)).sum(-1) + (push * ~ext_np).sum(-1)
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_contact_loss_grad(tiny_smpl):
+    model, _ = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+
+    def f(v):
+        return RL.contact_loss(v, ca, jnp.array([True]), euclthres=0.02)
+
+    g = jax.grad(f)(jnp.asarray(np.asarray(model.v_template))[None] * 0.9)
+    assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,97 @@
+"""SMPLify-DC convergence tests on crafted poses (SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tuch_tpu import assets
+from tuch_tpu.fitting import smplify_dc as S
+from tuch_tpu.losses.prior import create_gmm_prior
+from tuch_tpu.models.smpl import smpl_forward_pose72
+from tuch_tpu.utils.projection import perspective_projection
+
+from tests.test_losses import make_contact_assets
+
+
+def setup_problem(tiny_smpl, rng, B=2):
+    model, extras = tiny_smpl
+    prior = create_gmm_prior(assets.synthetic_gmm_prior(dim=69))
+    ca = make_contact_assets(tiny_smpl)
+
+    # Ground truth: prior-mean-ish pose, project to 2D.
+    gt_pose = np.zeros((B, 72), np.float32)
+    gt_pose[:, 3:] = np.asarray(prior.means)[0] * 0.5
+    gt_betas = np.zeros((B, 10), np.float32)
+    out = smpl_forward_pose72(model, jnp.asarray(gt_betas),
+                              jnp.asarray(gt_pose))
+    t_gt = np.tile(np.array([[0.0, 0.0, 20.0]], np.float32), (B, 1))
+    cc = np.full((B, 2), 112.0, np.float32)
+    proj = perspective_projection(
+        out.joints, jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+        jnp.asarray(t_gt), 5000.0, jnp.asarray(cc))
+    kp2d = np.concatenate([np.asarray(proj), np.ones((B, 49, 1))],
+                          axis=-1).astype(np.float32)
+    return model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d
+
+
+def test_smplify_nocontact_reduces_reprojection(tiny_smpl, rng):
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng)
+    B = gt_pose.shape[0]
+    # Perturbed init.
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.2
+    init_cam = t_gt + np.array([[0.05, -0.05, 1.0]], np.float32)
+
+    cfg = S.SMPLifyConfig(num_iters=30, use_contact=False, euclthres=0.02)
+    P = len(extras.contact_classes)
+    res = jax.jit(
+        lambda *a: S.smplify_dc(model, prior, ca, *a, config=cfg))(
+        jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(init_cam),
+        jnp.asarray(cc), jnp.asarray(kp2d), jnp.zeros((B, P)),
+        jnp.zeros(B, bool), jnp.zeros(B, bool), jnp.zeros(B, bool))
+
+    init_reproj = S.get_fitting_loss(
+        model, prior, jnp.asarray(init_pose), jnp.asarray(gt_betas),
+        jnp.asarray(init_cam), jnp.asarray(cc), jnp.asarray(kp2d))
+    assert float(res.reprojection_loss.sum()) < float(init_reproj.sum())
+    assert res.pose.shape == (B, 72)
+    assert np.isfinite(np.asarray(res.vertices)).all()
+
+
+def test_smplify_contact_runs_and_improves(tiny_smpl, rng):
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng)
+    B = gt_pose.shape[0]
+    P = len(extras.contact_classes)
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.1
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1.0
+
+    cfg = S.SMPLifyConfig(num_iters=10, use_contact=True, euclthres=0.02,
+                          contact_loss_weight=1.0)
+    res = S.smplify_dc(
+        model, prior, ca,
+        jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+        jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+        jnp.zeros(B, bool), jnp.ones(B, bool), jnp.zeros(B, bool),
+        config=cfg)
+    assert np.isfinite(np.asarray(res.vertices)).all()
+    assert np.isfinite(np.asarray(res.reprojection_loss)).all()
+    # betas were optimized in the camera stage (use_contact branch)
+    assert res.betas.shape == (B, 10)
+
+
+def test_smplify_trajectory_collection(tiny_smpl, rng):
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng)
+    B = gt_pose.shape[0]
+    P = len(extras.contact_classes)
+    cfg = S.SMPLifyConfig(num_iters=3, use_contact=False,
+                          collect_trajectory=True)
+    res = S.smplify_dc(
+        model, prior, ca, jnp.asarray(gt_pose), jnp.asarray(gt_betas),
+        jnp.asarray(t_gt), jnp.asarray(cc), jnp.asarray(kp2d),
+        jnp.zeros((B, P)), jnp.zeros(B, bool), jnp.zeros(B, bool),
+        jnp.zeros(B, bool), config=cfg)
+    V = model.v_template.shape[0]
+    assert res.trajectory.shape == (3, B, V, 3)

@@ -1,0 +1,201 @@
+"""SMPLify-DC: in-the-loop body fitting with discrete self-contact.
+
+TPU-native redesign of tuch/smplify/smplifydc.py. The reference runs two
+sequential Adam loops of host-side Python (camera stage, then body stage),
+with a per-sample Python loop inside the contact loss. Here each stage is a
+single `lax.scan` over optimizer steps with optax Adam, the whole batch is
+optimized simultaneously, and the two stages compose into one jit-compiled
+XLA program -- so `--run_smplify` training stays a single compiled step.
+
+Parameter freezing (the reference toggles requires_grad,
+smplifydc.py:104-115,139-150) becomes "only the stage's live parameters are
+scan carry; everything else is closed over".
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tuch_tpu import constants
+from tuch_tpu.losses import smplify as L
+from tuch_tpu.losses.prior import GMMPrior
+from tuch_tpu.losses.smplify import ContactAssets
+from tuch_tpu.models.smpl import SMPLModel, smpl_forward
+
+# Joints ignored during fitting (reference smplifydc.py:46-47).
+IGN_JOINT_NAMES = ('OP Neck', 'OP RHip', 'OP LHip', 'Right Hip', 'Left Hip')
+IGN_JOINT_IDS = np.array([constants.JOINT_IDS[n] for n in IGN_JOINT_NAMES])
+
+
+class SMPLifyConfig(NamedTuple):
+    step_size: float = 1e-2
+    num_iters: int = 100
+    focal_length: float = 5000.0
+    euclthres: float = 0.0
+    use_contact: bool = True
+    contact_loss_weight: float = 1.0
+    collect_trajectory: bool = False
+
+
+class SMPLifyResult(NamedTuple):
+    vertices: jnp.ndarray           # (B, V, 3)
+    joints: jnp.ndarray             # (B, 49, 3)
+    pose: jnp.ndarray               # (B, 72) axis-angle
+    betas: jnp.ndarray              # (B, 10)
+    camera_translation: jnp.ndarray  # (B, 3)
+    reprojection_loss: jnp.ndarray  # (B, 49) per-joint final reproj term
+    trajectory: Optional[jnp.ndarray] = None  # (T, B, V, 3) if collected
+
+
+def _run_adam(loss_fn, params, num_iters, lr, collect=None):
+    """lax.scan Adam loop. loss_fn(params) -> scalar; collect(params) -> ys."""
+    opt = optax.adam(lr, b1=0.9, b2=0.999)
+    state = opt.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        grads = jax.grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        p = optax.apply_updates(p, updates)
+        ys = collect(p) if collect is not None else None
+        return (p, s), ys
+
+    (params, _), traj = jax.lax.scan(step, (params, state), None,
+                                     length=num_iters)
+    return params, traj
+
+
+def smplify_dc(model: SMPLModel,
+               prior: GMMPrior,
+               assets: ContactAssets,
+               init_pose: jnp.ndarray,       # (B, 72) axis-angle
+               init_betas: jnp.ndarray,      # (B, 10)
+               init_cam_t: jnp.ndarray,      # (B, 3)
+               camera_center: jnp.ndarray,   # (B, 2)
+               keypoints_2d: jnp.ndarray,    # (B, 49, 3) px coords + conf
+               gt_contact: jnp.ndarray,      # (B, P) discrete contact vec
+               ignore_idxs: jnp.ndarray,     # (B,) has GT SMPL -> skip contact
+               has_discrete_contact: jnp.ndarray,  # (B,)
+               has_gt_keypoints: jnp.ndarray,      # (B,)
+               config: SMPLifyConfig) -> SMPLifyResult:
+    """Two-stage batched fitting; mirrors SMPLifyDC.__call__
+    (tuch/smplify/smplifydc.py:68-236)."""
+    joints_2d = keypoints_2d[..., :2]
+    joints_conf = keypoints_2d[..., 2]
+    body_pose0 = init_pose[:, 3:]
+    global_orient0 = init_pose[:, :3]
+    betas0 = init_betas
+
+    # ---------------- Stage 1: camera (+ betas when contact) -------------
+    # use_contact: optimize (betas, cam_t); else: (global_orient, cam_t).
+    spw = 1.0 if config.use_contact else 0.0
+
+    def camera_loss(p):
+        go = p.get('global_orient', global_orient0)
+        bt = p.get('betas', betas0)
+        out = smpl_forward(model, bt, body_pose0, go)
+        return L.camera_fitting_loss(
+            out.joints, bt, p['cam_t'], init_cam_t, camera_center,
+            joints_2d, joints_conf, focal_length=config.focal_length,
+            shape_prior_weight=spw)
+
+    if config.use_contact:
+        cam_params = {'betas': betas0, 'cam_t': init_cam_t}
+    else:
+        cam_params = {'global_orient': global_orient0, 'cam_t': init_cam_t}
+    cam_params, _ = _run_adam(camera_loss, cam_params, config.num_iters,
+                              config.step_size)
+    cam_t = cam_params['cam_t']
+    betas1 = cam_params.get('betas', betas0)
+    global_orient1 = cam_params.get('global_orient', global_orient0)
+
+    # ---------------- Stage 2: body pose ---------------------------------
+    conf2 = joints_conf.at[:, IGN_JOINT_IDS].set(0.0)
+
+    collect = None
+    if config.collect_trajectory:
+        def collect(p):
+            out = smpl_forward(model, betas1, p['body_pose'],
+                               p['global_orient'])
+            return out.vertices
+
+    if config.use_contact:
+        def body_loss(p):
+            out = smpl_forward(model, betas1, p['body_pose'],
+                               p['global_orient'])
+            return L.contact_fitting_loss(
+                p['body_pose'], p['global_orient'], betas1, out.joints,
+                out.vertices, cam_t, camera_center, joints_2d, conf2,
+                prior, assets, gt_contact, ignore_idxs,
+                has_discrete_contact, config.euclthres,
+                focal_length=config.focal_length,
+                contact_loss_weight=config.contact_loss_weight)
+
+        body_params = {'body_pose': body_pose0,
+                       'global_orient': global_orient1}
+        body_params, traj = _run_adam(body_loss, body_params,
+                                      config.num_iters, config.step_size,
+                                      collect=collect)
+        betas2 = betas1
+    else:
+        def body_loss(p):
+            out = smpl_forward(model, p['betas'], p['body_pose'],
+                               p['global_orient'])
+            return L.body_fitting_loss(
+                p['body_pose'], p['betas'], out.joints, cam_t,
+                camera_center, joints_2d, conf2, prior,
+                focal_length=config.focal_length)
+
+        body_params = {'body_pose': body_pose0,
+                       'global_orient': global_orient1, 'betas': betas1}
+        body_params, traj = _run_adam(body_loss, body_params,
+                                      config.num_iters, config.step_size,
+                                      collect=collect)
+        betas2 = body_params['betas']
+
+    body_pose2 = body_params['body_pose']
+    global_orient2 = body_params['global_orient']
+
+    # ---------------- Final evaluation ------------------------------------
+    out = smpl_forward(model, betas2, body_pose2, global_orient2)
+    conf_final = jnp.where(has_gt_keypoints[:, None]
+                           & (jnp.arange(49)[None, :] < 25),
+                           0.0, conf2)
+    reproj = L.body_fitting_loss(
+        body_pose2, betas2, out.joints, cam_t, camera_center, joints_2d,
+        conf_final, prior, focal_length=config.focal_length,
+        output='reprojection')
+
+    pose = jnp.concatenate([global_orient2, body_pose2], axis=-1)
+    return SMPLifyResult(
+        vertices=jax.lax.stop_gradient(out.vertices),
+        joints=jax.lax.stop_gradient(out.joints),
+        pose=jax.lax.stop_gradient(pose),
+        betas=jax.lax.stop_gradient(betas2),
+        camera_translation=jax.lax.stop_gradient(cam_t),
+        reprojection_loss=jax.lax.stop_gradient(reproj),
+        trajectory=traj if config.collect_trajectory else None)
+
+
+def get_fitting_loss(model: SMPLModel, prior: GMMPrior,
+                     pose: jnp.ndarray, betas: jnp.ndarray,
+                     cam_t: jnp.ndarray, camera_center: jnp.ndarray,
+                     keypoints_2d: jnp.ndarray,
+                     has_gt_keypoints: Optional[jnp.ndarray] = None,
+                     focal_length: float = 5000.0) -> jnp.ndarray:
+    """Per-joint reprojection loss of given parameters, (B, 49).
+
+    Mirrors SMPLifyDC.get_fitting_loss (tuch/smplify/smplifydc.py:238-276).
+    """
+    joints_2d = keypoints_2d[..., :2]
+    conf = keypoints_2d[..., 2].at[:, IGN_JOINT_IDS].set(0.0)
+    if has_gt_keypoints is not None:
+        conf = jnp.where(has_gt_keypoints[:, None]
+                         & (jnp.arange(49)[None, :] < 25), 0.0, conf)
+    out = smpl_forward(model, betas, pose[:, 3:], pose[:, :3])
+    return L.body_fitting_loss(
+        pose[:, 3:], betas, out.joints, cam_t, camera_center, joints_2d,
+        conf, prior, focal_length=focal_length, output='reprojection')

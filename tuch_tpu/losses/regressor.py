@@ -1,0 +1,234 @@
+"""Training losses for the HMR regressor: SPIN terms + self-contact.
+
+TPU-native redesign of tuch/train/loss.py. Structural changes:
+  * The per-sample Python loop over the batch (loss.py:246-247, "iterate
+    batch because of memory") is replaced by batched streamed kernels --
+    winding numbers and masked min-dists never materialize their quadratic
+    intermediates, so the whole batch runs in one XLA program.
+  * Boolean-mask indexing (dynamic shapes) becomes fixed-shape masking with
+    `jnp.where`; "empty selection -> 0 loss" falls out of the same masks.
+  * The HD (dense surface) path selects a *fixed* K of upsampled points by
+    contact score instead of a data-dependent boolean gather
+    (loss.py:274-301), keeping shapes static under jit.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tuch_tpu.ops import contact as contact_ops
+from tuch_tpu.losses.smplify import ContactAssets, self_contact_terms
+from tuch_tpu.utils.rotations import batch_rodrigues
+
+
+class LossWeights(NamedTuple):
+    """Mirrors the reference flags (configs/train_options.py:53-59)."""
+    shape: float = 0.0
+    keypoint: float = 5.0
+    pose: float = 1.0
+    beta: float = 0.01
+    contact: float = 1e-5
+    openpose_train_weight: float = 1.0
+    gt_train_weight: float = 1.0
+
+
+def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of values[mask], 0 when mask is empty (fixed-shape)."""
+    m = mask.astype(values.dtype)
+    denom = m.sum()
+    return jnp.where(denom > 0, (values * m).sum() / jnp.maximum(denom, 1.0),
+                     0.0)
+
+
+def keypoint_loss(pred_kp2d, gt_kp2d, openpose_weight, gt_weight, valid_fit):
+    """Confidence-weighted 2D reprojection MSE (tuch/train/loss.py:172-184).
+
+    pred_kp2d: (B, 49, 2); gt_kp2d: (B, 49, 3) with confidence channel.
+    Per-sample mean over joints/coords, then mean over valid_fit samples.
+    """
+    conf = gt_kp2d[..., 2:3]
+    w = jnp.concatenate([
+        jnp.full((25,), openpose_weight), jnp.full((24,), gt_weight)])
+    conf = conf * w[None, :, None]
+    per_sample = (conf * (pred_kp2d - gt_kp2d[..., :2]) ** 2).mean(axis=(1, 2))
+    return _masked_mean(per_sample, valid_fit)
+
+
+def keypoint_3d_loss(pred_joints, gt_joints, has_pose_3d):
+    """Pelvis-aligned 3D keypoint MSE over samples with 3D annotations.
+
+    pred_joints: (B, 49, 3) -- only the 24 GT-convention joints (25:) are
+    compared; gt_joints: (B, 24, 4) with confidence
+    (tuch/train/loss.py:186-205).
+    """
+    pred = pred_joints[:, 25:, :]
+    conf = gt_joints[..., 3:4]
+    gt = gt_joints[..., :3]
+    gt_pelvis = (gt[:, 2, :] + gt[:, 3, :]) / 2
+    gt = gt - gt_pelvis[:, None, :]
+    pred_pelvis = (pred[:, 2, :] + pred[:, 3, :]) / 2
+    pred = pred - pred_pelvis[:, None, :]
+    per_sample = (conf * (pred - gt) ** 2).mean(axis=(1, 2))
+    return _masked_mean(per_sample, has_pose_3d)
+
+
+def shape_loss(pred_vertices, gt_vertices, has_smpl):
+    """Per-vertex L1 over samples with SMPL annotations (loss.py:207-216)."""
+    per_sample = jnp.abs(pred_vertices - gt_vertices).mean(axis=(1, 2))
+    return _masked_mean(per_sample, has_smpl)
+
+
+def smpl_param_loss(pred_rotmat, pred_betas, opt_pose, opt_betas,
+                    valid_pose, valid_shape):
+    """Rotation-matrix MSE + betas MSE over valid fits (loss.py:218-238)."""
+    gt_rotmat = batch_rodrigues(opt_pose.reshape(-1, 24, 3))
+    pose_per_sample = ((pred_rotmat - gt_rotmat) ** 2).mean(axis=(1, 2, 3))
+    betas_per_sample = ((pred_betas - opt_betas) ** 2).mean(axis=1)
+    return (_masked_mean(pose_per_sample, valid_pose),
+            _masked_mean(betas_per_sample, valid_shape))
+
+
+def camera_depth_loss(pred_camera):
+    """Penalize negative/small weak-perspective scale (loss.py:147)."""
+    return jnp.mean(jnp.exp(-pred_camera[:, 0] * 10) ** 2)
+
+
+class HDAssets(NamedTuple):
+    """Dense-surface upsampling tables (reference loss.py:81-91), stored in
+    compact barycentric form: each HD point is a weighted combination of a
+    handful of SMPL vertices (the reference keeps an (H, V) regressor and
+    einsums it per sample, loss.py:285 -- dense that is ~0.4 GB; compacted
+    it is a gather)."""
+    vert_ids: jnp.ndarray        # (H, K) SMPL vertex ids per HD point
+    bary: jnp.ndarray            # (H, K) combination weights
+    geovec: jnp.ndarray          # (H,) face id each HD point samples from
+    geovec_verts: jnp.ndarray    # (H,) representative SMPL vert per HD point
+
+
+def make_hd_assets(vert_regressor: np.ndarray, geovec: np.ndarray,
+                   faces: np.ndarray, k: int = 4) -> HDAssets:
+    """Compact an (H, V) upsampling matrix to top-k barycentric form."""
+    vr = np.asarray(vert_regressor)
+    order = np.argsort(-np.abs(vr), axis=1)[:, :k]
+    rows = np.arange(vr.shape[0])[:, None]
+    weights = vr[rows, order]
+    geovec = np.asarray(geovec)
+    geovec_verts = np.asarray(faces)[geovec][:, 0]
+    return HDAssets(vert_ids=jnp.asarray(order.astype(np.int32)),
+                    bary=jnp.asarray(weights.astype(np.float32)),
+                    geovec=jnp.asarray(geovec.astype(np.int32)),
+                    geovec_verts=jnp.asarray(geovec_verts.astype(np.int32)))
+
+
+def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
+                 valid_fit: jnp.ndarray, euclthres: float,
+                 hd: Optional[HDAssets] = None, hd_k: int = 1024
+                 ) -> jnp.ndarray:
+    """TUCH self-contact push/pull loss, batched (tuch/train/loss.py:240-317).
+
+    Returns the mean over valid_fit samples of
+        sum_pull 0.005*tanh(d/0.005)^2  (exterior verts)
+      + sum_push 1.0*tanh(d/0.04)^2     (interior verts)
+    where d is the geodesic-masked nearest-vertex distance. With `hd`, the
+    distances are evaluated on a dense resampled surface: a fixed top-K of
+    HD points closest to contact replaces the reference's data-dependent
+    gather of "HD verts on faces touching a contact vertex".
+    """
+    exterior, v2v_min, in_contact = self_contact_terms(
+        verts, assets, euclthres)
+
+    if hd is None:
+        pull = 0.005 * jnp.tanh(v2v_min / 0.005) ** 2
+        push = 1.0 * jnp.tanh(v2v_min / 0.04) ** 2
+        per_sample = (pull * exterior).sum(-1) + (push * (~exterior)).sum(-1)
+        return _masked_mean(per_sample, valid_fit)
+
+    def single(v, ext, d_min, in_c):
+        # Score HD points by their representative SMPL vertex's contact
+        # status: in contact or interior -> candidate (loss.py:278-281).
+        vert_active = in_c | (~ext)  # (V,)
+        hd_active = vert_active[hd.geovec_verts]  # (H,)
+        d_rep = d_min[hd.geovec_verts]
+        # Top-K most-contacting HD points (masked-out points get +inf key).
+        key = jnp.where(hd_active, d_rep, jnp.inf)
+        _, top_idx = jax.lax.top_k(-key, hd_k)
+        sel_valid = jnp.take(hd_active, top_idx)
+
+        ids = hd.vert_ids[top_idx]                    # (K, k)
+        w_b = hd.bary[top_idx]                        # (K, k)
+        hd_pts = jnp.einsum('kj,kjd->kd', w_b, v[ids])  # (K, 3)
+
+        # Masked nearest HD point (geodesic mask via representative verts).
+        rep = hd.geovec_verts[top_idx]                # (K,)
+        geo = assets.geomask[rep][:, rep]             # (K, K)
+        geo = geo & sel_valid[None, :] & sel_valid[:, None]
+        hd_stop = jax.lax.stop_gradient(hd_pts)
+        d2 = (jnp.sum(hd_stop ** 2, -1)[:, None]
+              + jnp.sum(hd_stop ** 2, -1)[None, :]
+              - 2.0 * hd_stop @ hd_stop.T)
+        d2 = jnp.where(geo, d2, jnp.inf)
+        argmin = jnp.argmin(d2, axis=1)
+        has_neighbor = jnp.isfinite(jnp.min(d2, axis=1))
+        d_hd = jnp.linalg.norm(hd_pts - hd_pts[argmin], axis=-1)
+
+        # In/ex test for HD points, offset slightly along face normals
+        # (loss.py:294-297).
+        tris = jax.lax.stop_gradient(v)[assets.faces]  # (F, 3, 3)
+        normals = contact_ops.batch_face_normals(tris[None])[0]
+        offset_pts = hd_stop + 0.001 * normals[hd.geovec[top_idx]]
+        wn = contact_ops.winding_numbers_same_tris(
+            offset_pts[None], jax.lax.stop_gradient(v)[None], assets.faces)
+        hd_ext = (wn[0] <= 0.99)
+
+        w_valid = (sel_valid & has_neighbor).astype(v.dtype)
+        pull = 0.005 * jnp.tanh(d_hd / 0.005) ** 2
+        push = 1.0 * jnp.tanh(d_hd / 0.04) ** 2
+        return ((pull * hd_ext * w_valid).sum()
+                + (push * (~hd_ext) * w_valid).sum())
+
+    per_sample = jax.vmap(single)(verts, exterior, v2v_min, in_contact)
+    return _masked_mean(per_sample, valid_fit)
+
+
+def regressor_loss(weights: LossWeights,
+                   pred_rotmat, pred_betas, opt_pose, opt_betas,
+                   pred_keypoints_2d, gt_keypoints_2d,
+                   pred_joints, gt_joints, has_pose_3d,
+                   pred_vertices, opt_vertices, pred_camera,
+                   valid_fit, valid_fit_shape,
+                   contact_assets: Optional[ContactAssets] = None,
+                   euclthres: float = 0.02,
+                   hd: Optional[HDAssets] = None):
+    """Full training loss (tuch/train/loss.py:94-168). Returns (total, dict)."""
+    loss_contact = jnp.asarray(0.0)
+    if weights.contact > 0 and contact_assets is not None:
+        loss_contact = contact_loss(pred_vertices, contact_assets,
+                                    valid_fit, euclthres, hd=hd)
+
+    l_pose, l_betas = smpl_param_loss(pred_rotmat, pred_betas, opt_pose,
+                                      opt_betas, valid_fit, valid_fit_shape)
+    l_kp2d = keypoint_loss(pred_keypoints_2d, gt_keypoints_2d,
+                           weights.openpose_train_weight,
+                           weights.gt_train_weight, valid_fit)
+    l_kp3d = keypoint_3d_loss(pred_joints, gt_joints, has_pose_3d)
+    l_shape = shape_loss(pred_vertices, opt_vertices, valid_fit)
+    l_cam = camera_depth_loss(pred_camera)
+
+    total = (weights.shape * l_shape
+             + weights.keypoint * l_kp2d
+             + weights.keypoint * l_kp3d
+             + weights.pose * l_pose
+             + weights.beta * l_betas
+             + l_cam
+             + weights.contact * loss_contact)
+    return total, {
+        'loss_shape': l_shape,
+        'loss_keypoints': l_kp2d,
+        'loss_keypoints_3d': l_kp3d,
+        'loss_regr_pose': l_pose,
+        'loss_regr_betas': l_betas,
+        'loss_cam': l_cam,
+        'loss_contact': loss_contact,
+    }
