@@ -1,0 +1,261 @@
+"""Integration tests: fits store round-trips, data pipeline, 1-step train
+on a synthetic dataset (SURVEY.md section 4 integration-test plan)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tuch_tpu import config as cfgmod
+from tuch_tpu import runtime as rt
+from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+from tuch_tpu.data.loader import CheckpointLoader, LoaderState, \
+    add_fits_indices
+from tuch_tpu.data.mixed import MixedDataset, expand_meta_names
+from tuch_tpu.train import fits_store
+from tuch_tpu.utils.rotations import batch_rodrigues
+
+
+# ---------------------------------------------------------------------------
+# Fits store
+# ---------------------------------------------------------------------------
+
+def test_fits_lookup_update_roundtrip(rng):
+    """get/set round-trip under flip+rotation (fits_dict involution)."""
+    N, B = 20, 6
+    params = jnp.asarray(rng.randn(N, 82).astype(np.float32) * 0.3)
+    gidx = jnp.asarray(np.arange(B, dtype=np.int32))
+    rot = jnp.asarray(rng.uniform(-30, 30, B).astype(np.float32))
+    flip = jnp.asarray(rng.rand(B) > 0.5)
+
+    pose, betas = fits_store.lookup_fits(params, gidx, rot, flip)
+    # write the same values back -> store unchanged
+    new = fits_store.update_fits(params, gidx, pose, betas, rot, flip,
+                                 jnp.ones(B, bool))
+    # compare via rotation matrices (axis-angle has sign ambiguities)
+    old_R = np.asarray(batch_rodrigues(
+        params[:B, :72].reshape(-1, 3)))
+    new_R = np.asarray(batch_rodrigues(
+        new[:B, :72].reshape(-1, 3)))
+    np.testing.assert_allclose(new_R, old_R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new[B:]), np.asarray(params[B:]))
+
+
+def test_fits_update_masked(rng):
+    N, B = 10, 4
+    params = jnp.zeros((N, 82))
+    gidx = jnp.asarray(np.arange(B, dtype=np.int32))
+    pose = jnp.ones((B, 72))
+    betas = jnp.ones((B, 10))
+    mask = jnp.asarray([True, False, True, False])
+    new = fits_store.update_fits(params, gidx, pose, betas,
+                                 jnp.zeros(B), jnp.zeros(B, bool), mask)
+    changed = np.abs(np.asarray(new[:B])).sum(axis=1) > 0
+    np.testing.assert_array_equal(changed, np.asarray(mask))
+
+
+def test_fits_store_create_and_save(tmp_path):
+    store = fits_store.create_fits_store({'a': 5, 'b': 3})
+    assert store.params.shape == (8, 82)
+    assert store.offsets == {'a': 0, 'b': 5}
+    fits_store.save_fits(store, str(tmp_path))
+    assert os.path.exists(tmp_path / 'a_fits.npy')
+    store2 = fits_store.create_fits_store(
+        {'a': 5, 'b': 3}, checkpoint_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(store2.params),
+                               np.asarray(store.params))
+
+
+# ---------------------------------------------------------------------------
+# Data pipeline
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def synth_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp('imgs')
+    db = synthetic_db(12, img_dir=str(d), seed=3)
+    return db, str(d)
+
+
+def make_options(tmp_path, **kw):
+    cfg = cfgmod.TrainConfig(name='t', log_dir=str(tmp_path), batch_size=2,
+                             num_workers=0, img_res=64, **kw)
+    cfg.finalize()
+    return cfg
+
+
+def test_dataset_sample_schema(synth_data, tmp_path):
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'dsc_lsp', data=db, img_dir=img_dir,
+                     dataset_id=1)
+    s = ds.get(0, epoch=0)
+    assert s['img'].shape == (64, 64, 3)
+    assert s['keypoints'].shape == (49, 3)
+    assert s['pose'].shape == (72,)
+    assert s['contact_vec'].shape == (12,)
+    assert s['dataset_id'] == 1
+    assert s['has_disc_contact'] == 1.0 and s['has_gt_kpts'] == 1.0
+
+
+def test_dataset_deterministic_augmentation(synth_data, tmp_path):
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'dsc_lsp', data=db, img_dir=img_dir)
+    a = ds.get(3, epoch=2)
+    b = ds.get(3, epoch=2)
+    np.testing.assert_allclose(a['img'], b['img'])
+    assert a['rot_angle'] == b['rot_angle']
+    # different epoch -> (almost surely) different augmentation somewhere
+    c = [ds.get(i, epoch=5) for i in range(8)]
+    d = [ds.get(i, epoch=2) for i in range(8)]
+    assert any(x['is_flipped'] != y['is_flipped'] or
+               x['rot_angle'] != y['rot_angle'] for x, y in zip(c, d))
+
+
+def test_mixed_dataset_expansion():
+    names, part = expand_meta_names(['dsc', 'mtp'], [0.5, 0.5])
+    assert set(names) == {'dsc_lspet', 'dsc_lsp', 'dsc_df', 'mtp'}
+    assert np.isclose(sum(part), 2.0)  # 0.5 + 3*0.5
+
+
+def test_loader_batches_and_resume(synth_data, tmp_path):
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    loader = CheckpointLoader(ds, batch_size=4, shuffle=True,
+                              num_workers=0, seed=1)
+    full = list(loader.epoch_iter(LoaderState(0, 0, 1)))
+    assert len(full) == 3
+    assert full[0]['img'].shape == (4, 64, 64, 3)
+    resumed = list(loader.epoch_iter(LoaderState(0, 1, 1)))
+    np.testing.assert_allclose(resumed[0]['img'], full[1]['img'])
+
+
+def test_loader_threaded_matches_sync(synth_data, tmp_path):
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    l0 = CheckpointLoader(ds, batch_size=4, shuffle=True, num_workers=0,
+                          seed=1)
+    l1 = CheckpointLoader(ds, batch_size=4, shuffle=True, num_workers=3,
+                          seed=1)
+    b0 = list(l0.epoch_iter(LoaderState(0, 0, 1)))
+    b1 = list(l1.epoch_iter(LoaderState(0, 0, 1)))
+    assert len(b0) == len(b1)
+    for x, y in zip(b0, b1):
+        np.testing.assert_allclose(x['img'], y['img'])
+
+
+# ---------------------------------------------------------------------------
+# Train step integration
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def tiny_runtime():
+    return rt.build_runtime(synthetic=True, num_verts=170, img_res=64,
+                            with_hd=True)
+
+
+def make_batch(runtime, B=2, rng=None):
+    rng = rng or np.random.RandomState(0)
+    P = len(runtime.contact_classes)
+    return {
+        'img': rng.randn(B, 64, 64, 3).astype(np.float32) * 0.1,
+        'keypoints': np.concatenate(
+            [rng.uniform(-0.8, 0.8, (B, 49, 2)), np.ones((B, 49, 1))],
+            -1).astype(np.float32),
+        'pose': (rng.randn(B, 72) * 0.1).astype(np.float32),
+        'betas': (rng.randn(B, 10) * 0.2).astype(np.float32),
+        'contact_vec': (rng.rand(B, P) > 0.6).astype(np.float32),
+        'pose_3d': np.concatenate(
+            [rng.randn(B, 24, 3) * 0.2, np.ones((B, 24, 1))],
+            -1).astype(np.float32),
+        'has_smpl': np.array([1.0] + [0.0] * (B - 1), np.float32),
+        'has_pgt_smpl': np.zeros(B, np.float32),
+        'has_disc_contact': np.array([0.0] + [1.0] * (B - 1), np.float32),
+        'has_gt_kpts': np.ones(B, np.float32),
+        'has_pose_3d': np.zeros(B, np.float32),
+        'is_flipped': (rng.rand(B) > 0.5).astype(np.float32),
+        'rot_angle': rng.uniform(-20, 20, B).astype(np.float32),
+        'sample_index': np.arange(B, dtype=np.int32),
+        'dataset_id': np.zeros(B, np.int32),
+        'fits_index': np.arange(B, dtype=np.int32),
+    }
+
+
+def run_steps(runtime, tmp_path, n=2, **opt_kw):
+    import optax
+    from tuch_tpu.train.module import TrainState, make_train_step
+    opts = make_options(tmp_path, **opt_kw)
+    optimizer = optax.adam(opts.lr)
+    step = jax.jit(make_train_step(runtime.hmr, runtime.assets, opts,
+                                   optimizer,
+                                   len(runtime.contact_classes)))
+    params = runtime.variables['params']
+    state = TrainState(
+        params=params, batch_stats=runtime.variables['batch_stats'],
+        opt_state=optimizer.init(params),
+        fits=jnp.zeros((8, 82)), rng=jax.random.PRNGKey(0),
+        step=jnp.asarray(0, jnp.int32))
+    batch = make_batch(runtime)
+    out = []
+    for _ in range(n):
+        state, metrics, outputs = step(state, batch)
+        out.append((metrics, outputs))
+    return state, out
+
+
+def test_train_step_no_smplify(tiny_runtime, tmp_path):
+    state, out = run_steps(tiny_runtime, tmp_path, n=2,
+                           run_smplify=False, contact_loss_weight=0.0)
+    m0, _ = out[0]
+    m1, _ = out[1]
+    assert np.isfinite(float(m0['loss']))
+    assert int(np.asarray(state.step)) == 2
+    # params actually changed
+    # (loss landscape is nontrivial; adam step 1e-5 but nonzero)
+    assert float(m0['loss']) != float(m1['loss'])
+
+
+def test_train_step_contact_loss_active(tiny_runtime, tmp_path):
+    state, out = run_steps(tiny_runtime, tmp_path, n=1,
+                           run_smplify=False, contact_loss_weight=1e-3)
+    m, _ = out[0]
+    assert np.isfinite(float(m['loss_contact']))
+
+
+def test_train_step_with_smplify_updates_fits(tiny_runtime, tmp_path):
+    state, out = run_steps(tiny_runtime, tmp_path, n=1, run_smplify=True,
+                           num_smplify_iters=2, contact_loss_weight=0.0,
+                           smplify_threshold=1e9)
+    m, outputs = out[0]
+    assert np.isfinite(float(m['loss']))
+    fits = np.asarray(state.fits)
+    # sample 0 has GT smpl -> ignored for contact but fits may update;
+    # at least one row should have been written (threshold is huge)
+    assert np.abs(fits[:2]).sum() > 0
+
+
+def test_train_step_jit_cache(tiny_runtime, tmp_path):
+    """Second call with fresh arrays must not retrace (static closure)."""
+    import optax
+    from tuch_tpu.train.module import TrainState, make_train_step
+    opts = make_options(tmp_path, run_smplify=False,
+                        contact_loss_weight=0.0)
+    optimizer = optax.adam(1e-5)
+    fn = make_train_step(tiny_runtime.hmr, tiny_runtime.assets, opts,
+                         optimizer, len(tiny_runtime.contact_classes))
+    step = jax.jit(fn)
+    params = tiny_runtime.variables['params']
+    state = TrainState(
+        params=params, batch_stats=tiny_runtime.variables['batch_stats'],
+        opt_state=optimizer.init(params), fits=jnp.zeros((8, 82)),
+        rng=jax.random.PRNGKey(0), step=jnp.asarray(0, jnp.int32))
+    b1 = make_batch(tiny_runtime, rng=np.random.RandomState(1))
+    b2 = make_batch(tiny_runtime, rng=np.random.RandomState(2))
+    state, _, _ = step(state, b1)
+    state, _, _ = step(state, b2)
+    assert step._cache_size() == 1

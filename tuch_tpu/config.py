@@ -1,0 +1,213 @@
+"""Configuration: one dataclass tree with JSON/flag round-trip.
+
+Replaces the reference's per-entry-point argparse classes
+(configs/train_options.py, configs/smplify_dc_options.py,
+configs/eft_fitting_options.py) and the module-constant path registry
+(configs/config.py). Flag names are preserved so reference command lines
+keep working; `--from_json` overrides everything and every run dumps its
+resolved config.json (reference behavior: configs/train_options.py:70-99).
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+# ---------------------------------------------------------------------------
+# Path registry (reference: configs/config.py). Overridable via env.
+# ---------------------------------------------------------------------------
+
+DS_DIR = os.environ.get('TUCH_DS_DIR', '')
+DATA_DIR = os.environ.get('TUCH_DATA_DIR', 'data')
+
+DBS_PATH = os.path.join(DATA_DIR, 'dbs')
+DATASET_FILES = {
+    'train': {
+        'mpi-inf-3dhp': os.path.join(DBS_PATH, 'mpi_inf_3dhp_train.pt'),
+        'dsc_df': os.path.join(DBS_PATH, 'dsc_df_train.pt'),
+        'dsc_lspet': os.path.join(DBS_PATH, 'dsc_lspet_train.pt'),
+        'dsc_lsp': os.path.join(DBS_PATH, 'dsc_lsp_train.pt'),
+        'mtp': os.path.join(DBS_PATH, 'mtp_train.pt'),
+        '3dpw': os.path.join(DBS_PATH, '3dpw_train.pt'),
+        'dsc_df_eft': os.path.join(DBS_PATH, 'dsc_df_eft_train.pt'),
+        'dsc_lspet_eft': os.path.join(DBS_PATH, 'dsc_lspet_eft_train.pt'),
+        'dsc_lsp_eft': os.path.join(DBS_PATH, 'dsc_lsp_eft_train.pt'),
+    },
+    'val': {'mtp': os.path.join(DBS_PATH, 'mtp_val.pt')},
+    'test': {
+        'mpi-inf-3dhp': os.path.join(DBS_PATH, 'mpi_inf_3dhp_test.pt'),
+        '3dpw': os.path.join(DBS_PATH, '3dpw_test.pt'),
+    },
+}
+
+IMAGE_FOLDERS = {
+    'mpi-inf-3dhp': os.path.join(DS_DIR, 'mpi_inf_3dhp'),
+    '3dpw': os.path.join(DS_DIR, '3DPW'),
+    'mtp': os.path.join(DS_DIR, 'mtp/images'),
+    'dsc_df': os.path.join(DS_DIR, 'dsc/images/df/images'),
+    'dsc_lspet': os.path.join(DS_DIR, 'dsc/images/lspet/images'),
+    'dsc_lsp': os.path.join(DS_DIR, 'dsc/images/lsp/images'),
+    'dsc_df_eft': os.path.join(DS_DIR, 'dsc/images/df/images'),
+    'dsc_lspet_eft': os.path.join(DS_DIR, 'dsc/images/lspet/images'),
+    'dsc_lsp_eft': os.path.join(DS_DIR, 'dsc/images/lsp/images'),
+}
+
+# Asset paths (reference: configs/config.py:74-87)
+SMPL_MODEL_DIR = os.path.join(DATA_DIR, 'models/smpl')
+JOINT_REGRESSOR_TRAIN_EXTRA = os.path.join(
+    DATA_DIR, 'essentials/spin/J_regressor_extra.npy')
+JOINT_REGRESSOR_H36M = os.path.join(
+    DATA_DIR, 'essentials/spin/J_regressor_h36m.npy')
+STATIC_FITS_DIR = os.path.join(DATA_DIR, 'static_fits')
+SMPL_MEAN_PARAMS = os.path.join(
+    DATA_DIR, 'essentials/spin/smpl_mean_params.npz')
+PRIOR_FOLDER = os.path.join(DATA_DIR, 'essentials/spin')
+THREEDPW_CIG = os.path.join(DATA_DIR, 'essentials/3dpw_test_csig_pc.npy')
+SPIN_MODEL_CHECKPOINT = os.path.join(DATA_DIR, 'spin_model_checkpoint.pt')
+GEODESICS_SMPL = os.path.join(
+    DATA_DIR, 'essentials/geodesics/smpl/smpl_neutral_geodesic_dist.npy')
+HD_MODEL_DIR = os.path.join(DATA_DIR, 'essentials/hd_model/smpl')
+SEGMENT_DIR = os.path.join(DATA_DIR, 'essentials/segments/smpl')
+DSC_ROOT = os.path.join(DS_DIR, 'dsc/release')
+
+# Contact thresholds (reference: configs/config.py:90-91)
+geothres = 0.3
+euclthres = 0.02
+
+
+# ---------------------------------------------------------------------------
+# Run configuration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainConfig:
+    """Flag-compatible with the reference TrainOptions
+    (configs/train_options.py:7-68)."""
+    name: str = 'tuch'
+    time_to_run: float = float('inf')
+    resume: bool = False
+    num_workers: int = 8
+    pin_memory: bool = True
+    log_dir: str = 'logs'
+    checkpoint: Optional[str] = None
+    from_json: Optional[str] = None
+    pretrained_checkpoint: Optional[str] = None
+
+    num_epochs: int = 6
+    lr: float = 1e-5
+    batch_size: int = 64
+    summary_freq: float = 0.5
+    val_and_checkpoint_freq: float = 0.5
+    img_res: int = 224
+
+    ds_names: List[str] = field(default_factory=lambda: ['dsc', 'mtp'])
+    ds_composition: List[float] = field(default_factory=lambda: [0.5, 0.5])
+    shuffle_train: bool = True
+
+    rot_factor: float = 30.0
+    noise_factor: float = 0.4
+    scale_factor: float = 0.25
+    ignore_3d: bool = False
+
+    shape_loss_weight: float = 0.0
+    keypoint_loss_weight: float = 5.0
+    pose_loss_weight: float = 1.0
+    beta_loss_weight: float = 0.01
+    contact_loss_weight: float = 1e-5
+    openpose_train_weight: float = 1.0
+    gt_train_weight: float = 1.0
+
+    run_smplify: bool = False
+    smplify_threshold: float = 100.0
+    num_smplify_iters: int = 10
+    use_contact_in_the_loop: bool = True
+    contact_in_the_loop_loss_weight: float = 2000.0
+
+    # TPU-native additions
+    synthetic: bool = False          # run on synthetic assets/data
+    use_hd: bool = True              # dense-surface contact in regressor loss
+    mesh_dp: int = 0                 # data-parallel devices (0 = all)
+    mesh_cp: int = 1                 # contact/triangle-parallel devices
+    compute_dtype: str = 'float32'   # or 'bfloat16' for the backbone
+    seed: int = 0
+
+    # Derived (filled by finalize()):
+    summary_dir: str = ''
+    checkpoint_dir: str = ''
+
+    def finalize(self):
+        self.log_dir = os.path.join(os.path.abspath(self.log_dir), self.name)
+        self.summary_dir = os.path.join(self.log_dir, 'tensorboard')
+        self.checkpoint_dir = os.path.join(self.log_dir, 'checkpoints')
+        os.makedirs(self.summary_dir, exist_ok=True)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, 'config.json'), 'w') as f:
+            json.dump(dataclasses.asdict(self), f, indent=4, default=str)
+        return self
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
+    for f in dataclasses.fields(cls):
+        if f.name in ('summary_dir', 'checkpoint_dir'):
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else (
+            f.default_factory() if f.default_factory is not dataclasses.MISSING
+            else None)
+        arg = '--' + f.name
+        if f.type in ('bool', bool) or isinstance(default, bool):
+            parser.add_argument(arg, type=lambda x: str(x).lower() in
+                                ('true', '1', 'yes'), nargs='?', const=True,
+                                default=default)
+        elif isinstance(default, list):
+            elem_t = float if default and isinstance(default[0], float) else str
+            parser.add_argument(arg, nargs='+', type=elem_t, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(arg, type=float, default=default)
+        elif isinstance(default, int):
+            parser.add_argument(arg, type=int, default=default)
+        else:
+            parser.add_argument(arg, type=str, default=default)
+
+
+def parse_config(cls=TrainConfig, argv=None, finalize=True):
+    """Build a config from CLI flags, honoring --from_json overrides."""
+    parser = argparse.ArgumentParser()
+    _add_dataclass_args(parser, cls)
+    args = parser.parse_args(argv)
+    cfg = cls(**{k: v for k, v in vars(args).items()
+                 if k in {f.name for f in dataclasses.fields(cls)}})
+    if cfg.from_json:
+        with open(cfg.from_json) as f:
+            overrides = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        for k, v in overrides.items():
+            if k in known:
+                setattr(cfg, k, v)
+    if finalize:
+        cfg.finalize()
+    return cfg
+
+
+@dataclass
+class SMPLifyDemoConfig(TrainConfig):
+    """Flags of demo_smplify_dc.py (configs/smplify_dc_options.py)."""
+    ds_names: List[str] = field(
+        default_factory=lambda: ['dsc_df', 'dsc_lspet', 'dsc_lsp'])
+    num_smplify_iters: int = 100
+    out_dir: str = 'out/smplify_dc'
+    num_images: int = 4
+
+
+@dataclass
+class EFTConfig(TrainConfig):
+    """Flags of fit_eft.py (configs/eft_fitting_options.py)."""
+    sidx: int = 0                    # cluster shard index
+    cbs: Optional[int] = None        # shard size (None = whole dataset)
+    max_steps: int = 50
+    batch_size: int = 1
+    kp_loss_weight: float = 10.0
+    shape_prior_weight: float = 1.0
+    contact_loss_weight: float = 1.0
+    out_dir: str = 'out/eft'

@@ -1,0 +1,117 @@
+"""Checkpointable, prefetching batch loader feeding device arrays.
+
+Replaces tuch/utils/data_loader.py (CheckpointDataLoader). Differences:
+  * Thread-pool prefetch (image decode + warp release the GIL in PIL/numpy)
+    with a bounded queue double-buffering host->device transfer.
+  * Exact mid-epoch resume: state = (epoch, batch_idx, permutation seed);
+    the permutation is regenerated from the seed instead of being stored
+    (the reference pickles the whole permutation, saver.py:71).
+  * Batches are dicts of stacked numpy arrays, padded to a fixed batch size
+    (static shapes for jit).
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, NamedTuple, Optional
+
+import numpy as np
+
+
+class LoaderState(NamedTuple):
+    epoch: int
+    batch_idx: int
+    perm_seed: int
+
+
+class CheckpointLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def num_batches(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _permutation(self, epoch: int) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.RandomState((self.seed + 7919 * epoch)
+                                        & 0x7fffffff)
+            return rng.permutation(len(self.dataset))
+        return np.arange(len(self.dataset))
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        keys = samples[0].keys()
+        return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+    def _get_sample(self, idx: int, epoch: int):
+        return self.dataset.get(int(idx), epoch)
+
+    def epoch_iter(self, state: LoaderState
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate batches of one epoch starting at state.batch_idx."""
+        perm = self._permutation(state.epoch)
+        nb = self.num_batches()
+        batches = range(state.batch_idx, nb)
+
+        def make_batch(bi):
+            lo = bi * self.batch_size
+            idxs = perm[lo:lo + self.batch_size]
+            if len(idxs) < self.batch_size:  # pad final partial batch
+                idxs = np.concatenate(
+                    [idxs, perm[:self.batch_size - len(idxs)]])
+            samples = [self._get_sample(i, state.epoch) for i in idxs]
+            return self._collate(samples)
+
+        if self.num_workers == 0:
+            for bi in batches:
+                yield make_batch(bi)
+            return
+
+        q: 'queue.Queue' = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending = []
+                    for bi in batches:
+                        pending.append(pool.submit(make_batch, bi))
+                        # keep a small pipeline
+                        while len(pending) > 2:
+                            q.put(pending.pop(0).result())
+                            if stop.is_set():
+                                return
+                    for f in pending:
+                        q.put(f.result())
+                        if stop.is_set():
+                            return
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def add_fits_indices(batch: Dict[str, np.ndarray], offsets_table: np.ndarray
+                     ) -> Dict[str, np.ndarray]:
+    """Attach packed fits-store row indices from (dataset_id, sample_index)."""
+    batch = dict(batch)
+    batch['fits_index'] = (offsets_table[batch['dataset_id']]
+                           + batch['sample_index']).astype(np.int32)
+    return batch

@@ -1,0 +1,226 @@
+"""Image/keypoint augmentation transforms for the input pipeline.
+
+Replaces tuch/utils/imutils.py. The reference crops with a chain of
+pad -> rotate -> unpad -> resize on the host (its own comment at
+imutils.py:70 says "very slow"); here the crop+rotate+resize collapse into
+ONE affine warp with bilinear sampling (numpy reference implementation; a
+C++ kernel in tuch_tpu/viz/native.cpp accelerates it when built).
+Keypoints use the same continuous 3x3 matrix (the reference rounds through
+ints, imutils.py:58-65 -- we keep sub-pixel precision).
+"""
+
+from typing import Tuple
+
+import numpy as np
+
+from tuch_tpu import constants
+
+
+def get_transform(center, scale, res: Tuple[int, int], rot: float = 0.0
+                  ) -> np.ndarray:
+    """3x3 matrix mapping original-image coords -> crop coords.
+
+    Same convention as the reference (imutils.py:32-56): the crop covers a
+    square of side h = 200*scale around `center`, mapped to `res` pixels,
+    then rotated by `rot` degrees about the crop center.
+    """
+    h = 200.0 * float(scale)
+    t = np.eye(3)
+    t[0, 0] = res[1] / h
+    t[1, 1] = res[0] / h
+    t[0, 2] = res[1] * (-float(center[0]) / h + 0.5)
+    t[1, 2] = res[0] * (-float(center[1]) / h + 0.5)
+    if rot != 0:
+        rad = -rot * np.pi / 180.0
+        sn, cs = np.sin(rad), np.cos(rad)
+        rot_mat = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]])
+        t_to = np.eye(3)
+        t_to[0, 2] = -res[1] / 2
+        t_to[1, 2] = -res[0] / 2
+        t_back = np.eye(3)
+        t_back[0, 2] = res[1] / 2
+        t_back[1, 2] = res[0] / 2
+        t = t_back @ rot_mat @ t_to @ t
+    return t
+
+
+def transform_points(pts: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Apply a 3x3 transform to (N, 2) points (continuous, no rounding)."""
+    ones = np.ones((pts.shape[0], 1))
+    homog = np.concatenate([pts, ones], axis=1)
+    out = homog @ t.T
+    return out[:, :2]
+
+
+def crop_image(img: np.ndarray, center, scale, res: Tuple[int, int],
+               rot: float = 0.0) -> np.ndarray:
+    """Fused affine crop: one inverse-warp bilinear resample.
+
+    img: (H, W, C) float or uint8. Returns (res[0], res[1], C) float32.
+    Replaces the reference's crop() (imutils.py:67-106).
+    """
+    t = get_transform(center, scale, res, rot)
+    t_inv = np.linalg.inv(t)
+
+    ys, xs = np.meshgrid(np.arange(res[0]), np.arange(res[1]),
+                         indexing='ij')
+    # +0.5 pixel-center convention for the warp sample positions.
+    dst = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], axis=1)
+    src = transform_points(dst, t_inv) - 0.5
+    sx, sy = src[:, 0], src[:, 1]
+
+    H, W = img.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0).astype(np.float32)
+    fy = (sy - y0).astype(np.float32)
+
+    def sample(yy, xx):
+        inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        yy = np.clip(yy, 0, H - 1)
+        xx = np.clip(xx, 0, W - 1)
+        vals = img[yy, xx].astype(np.float32)
+        vals[~inside] = 0.0
+        return vals
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x0 + 1)
+    v10 = sample(y0 + 1, x0)
+    v11 = sample(y0 + 1, x0 + 1)
+    fx = fx[:, None]
+    fy = fy[:, None]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return out.reshape(res[0], res[1], -1)
+
+
+def uncrop_image(img: np.ndarray, center, scale,
+                 orig_shape: Tuple[int, int], rot: float = 0.0
+                 ) -> np.ndarray:
+    """Inverse of crop_image: paste the crop back into original coords.
+
+    Replaces imutils.py:108-133 (used for mask/part evaluation).
+    """
+    res = img.shape[:2]
+    t = get_transform(center, scale, res, rot)
+    ys, xs = np.meshgrid(np.arange(orig_shape[0]), np.arange(orig_shape[1]),
+                         indexing='ij')
+    dst = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], axis=1)
+    src = transform_points(dst, t) - 0.5
+    sx = np.round(src[:, 0]).astype(np.int64)
+    sy = np.round(src[:, 1]).astype(np.int64)
+    inside = (sy >= 0) & (sy < res[0]) & (sx >= 0) & (sx < res[1])
+    out = np.zeros(orig_shape + img.shape[2:], dtype=img.dtype)
+    flat_idx = np.where(inside)[0]
+    out.reshape(-1, *img.shape[2:])[flat_idx] = \
+        img[np.clip(sy, 0, res[0] - 1), np.clip(sx, 0, res[1] - 1)][inside]
+    return out
+
+
+def flip_img(img: np.ndarray) -> np.ndarray:
+    """Horizontal flip, channels-last (imutils.py:148-153)."""
+    return np.ascontiguousarray(img[:, ::-1])
+
+
+def flip_kp(kp: np.ndarray) -> np.ndarray:
+    """Flip keypoints; handles the 24- and 49-joint conventions
+    (imutils.py:155-163)."""
+    if len(kp) == 24:
+        perm = constants.J24_FLIP_PERM
+    elif len(kp) == 49:
+        perm = constants.J49_FLIP_PERM
+    else:
+        raise ValueError(f'unsupported keypoint count {len(kp)}')
+    kp = kp[perm].copy()
+    kp[:, 0] = -kp[:, 0]
+    return kp
+
+
+def flip_pose_np(pose: np.ndarray) -> np.ndarray:
+    """Flip 72-dim SMPL pose (imutils.py:165-174)."""
+    pose = pose[constants.SMPL_POSE_FLIP_PERM].copy()
+    pose[1::3] = -pose[1::3]
+    pose[2::3] = -pose[2::3]
+    return pose
+
+
+def rot_aa_np(aa: np.ndarray, rot: float) -> np.ndarray:
+    """Rotate global orientation by `rot` image degrees (imutils.py:135-146),
+    numpy path for the host-side loader (pure Rodrigues, no cv2)."""
+    if rot == 0:
+        return aa.astype(np.float32)
+    rad = np.deg2rad(-rot)
+    R = np.array([[np.cos(rad), -np.sin(rad), 0],
+                  [np.sin(rad), np.cos(rad), 0], [0, 0, 1]])
+    angle = np.linalg.norm(aa)
+    if angle < 1e-8:
+        M = np.eye(3)
+    else:
+        axis = aa / angle
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        M = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+    M = R @ M
+    # matrix -> axis-angle
+    cos_a = np.clip((np.trace(M) - 1) / 2, -1, 1)
+    a = np.arccos(cos_a)
+    if a < 1e-8:
+        return np.zeros(3, np.float32)
+    if np.pi - a < 1e-6:  # near-pi: extract axis from M + I
+        A = (M + np.eye(3)) / 2
+        axis = np.sqrt(np.maximum(np.diag(A), 0))
+        # fix signs from off-diagonals
+        if axis[0] > 0:
+            axis[1] *= np.sign(A[0, 1]) if A[0, 1] != 0 else 1
+            axis[2] *= np.sign(A[0, 2]) if A[0, 2] != 0 else 1
+        axis /= max(np.linalg.norm(axis), 1e-12)
+        return (axis * a).astype(np.float32)
+    axis = np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0],
+                     M[1, 0] - M[0, 1]]) / (2 * np.sin(a))
+    return (axis * a).astype(np.float32)
+
+
+def j2d_processing(kp: np.ndarray, center, scale, res: int, rot: float,
+                   flip: bool) -> np.ndarray:
+    """Transform GT 2D keypoints into normalized crop coords
+    (base_dataset.py:207-219)."""
+    t = get_transform(center, scale, (res, res), rot)
+    kp = kp.copy()
+    kp[:, :2] = transform_points(kp[:, :2], t)
+    kp[:, :-1] = 2.0 * kp[:, :-1] / res - 1.0
+    if flip:
+        kp = flip_kp(kp)
+    return kp.astype(np.float32)
+
+
+def j3d_processing(S: np.ndarray, rot: float, flip: bool) -> np.ndarray:
+    """In-plane-rotate + flip 3D keypoints (base_dataset.py:221-238)."""
+    S = S.copy()
+    if rot != 0:
+        rad = -rot * np.pi / 180
+        sn, cs = np.sin(rad), np.cos(rad)
+        R = np.eye(3)
+        R[0, :2] = [cs, -sn]
+        R[1, :2] = [sn, cs]
+        S[:, :3] = S[:, :3] @ R.T
+    if flip:
+        S = flip_kp(S)
+    return S.astype(np.float32)
+
+
+def pose_processing(pose: np.ndarray, rot: float, flip: bool) -> np.ndarray:
+    """Rotate global orient + optionally flip SMPL pose
+    (base_dataset.py:240-248)."""
+    pose = pose.copy()
+    pose[:3] = rot_aa_np(pose[:3], rot)
+    if flip:
+        pose = flip_pose_np(pose)
+    return pose.astype(np.float32)
+
+
+def normalize_image(img01: np.ndarray) -> np.ndarray:
+    """ImageNet-normalize an (H, W, 3) image in [0, 1]."""
+    mean = np.asarray(constants.IMG_NORM_MEAN, np.float32)
+    std = np.asarray(constants.IMG_NORM_STD, np.float32)
+    return ((img01 - mean) / std).astype(np.float32)

@@ -138,6 +138,8 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
     """
     exterior, v2v_min, in_contact = self_contact_terms(
         verts, assets, euclthres)
+    if hd is not None:
+        hd_k = min(hd_k, int(hd.geovec.shape[0]))
 
     if hd is None:
         pull = 0.005 * jnp.tanh(v2v_min / 0.005) ** 2

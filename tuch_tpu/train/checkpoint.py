@@ -1,0 +1,99 @@
+"""Checkpointing: training state + fits + loader position, via Orbax.
+
+Replaces tuch/utils/saver.py (CheckpointSaver). The checkpoint is a single
+pytree (params, batch_stats, opt state, fits array, rng, step) plus loader
+state and metadata -- so resume restores the exact mid-epoch position and
+the best-fit store in one call (the reference saves model/optimizer dicts
+plus separate {ds}_fits.npy files and a pickled dataset permutation,
+saver.py:58-94).
+"""
+
+import json
+import os
+import re
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tuch_tpu.train.module import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, max_to_keep: int = 5):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.checkpointer = ocp.PyTreeCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    def _path(self, step: int, val_error: Optional[float]) -> str:
+        stamp = time.strftime('%Y_%m_%d-%H_%M_%S')
+        err = 'nan' if val_error is None else f'{val_error:.2f}'
+        return os.path.join(self.save_dir, f'{stamp}_step{step}_{err}')
+
+    def save(self, state: TrainState, loader_state: Dict[str, Any],
+             val_error: Optional[float] = None) -> str:
+        step = int(np.asarray(state.step))
+        path = self._path(step, val_error)
+        self.checkpointer.save(path, jax.device_get(state._asdict()))
+        with open(path + '.meta.json', 'w') as f:
+            json.dump({'step': step, 'val_error': val_error,
+                       'loader_state': loader_state}, f)
+        self._gc()
+        return path
+
+    def _gc(self):
+        ckpts = self.list_checkpoints()
+        for path in ckpts[:-self.max_to_keep]:
+            try:
+                import shutil
+                shutil.rmtree(path, ignore_errors=True)
+                os.remove(path + '.meta.json')
+            except OSError:
+                pass
+
+    def list_checkpoints(self):
+        out = []
+        if not os.path.isdir(self.save_dir):
+            return out
+        for name in sorted(os.listdir(self.save_dir)):
+            full = os.path.join(self.save_dir, name)
+            if os.path.isdir(full) and os.path.exists(full + '.meta.json'):
+                out.append(full)
+        return out
+
+    def latest(self) -> Optional[str]:
+        ckpts = self.list_checkpoints()
+        return ckpts[-1] if ckpts else None
+
+    def restore(self, template: TrainState, path: Optional[str] = None
+                ) -> Tuple[TrainState, Dict[str, Any]]:
+        """Restore into the structure of `template` (shapes must match)."""
+        path = path or self.latest()
+        if path is None:
+            raise FileNotFoundError('no checkpoint found in '
+                                    + self.save_dir)
+        restored = self.checkpointer.restore(
+            path, item=jax.device_get(template._asdict()))
+        with open(path + '.meta.json') as f:
+            meta = json.load(f)
+        return TrainState(**restored), meta.get('loader_state', {})
+
+    def exists(self) -> bool:
+        return self.latest() is not None
+
+
+def load_pretrained_params(path: str):
+    """Load a converted pretrained checkpoint (.npz pytree or torch .pt via
+    the converter). Returns dict with 'params' and optionally 'batch_stats'.
+    """
+    if path.endswith('.npz') or path.endswith('.npy'):
+        from flax import traverse_util
+        with np.load(path, allow_pickle=False) as d:
+            flat = {tuple(k.split('/')): d[k] for k in d.files}
+        tree = traverse_util.unflatten_dict(flat)
+        return tree
+    from tuch_tpu.models.convert import convert_torch_checkpoint
+    return convert_torch_checkpoint(path)

@@ -1,0 +1,264 @@
+"""The TUCH training step as one pure, jit-compiled function.
+
+TPU-native redesign of tuch/train/train_module.py (TUCH.forward_train_step).
+The reference interleaves device compute with host round-trips every step:
+FitsDict lookups on CPU, per-sample numpy least squares for camera
+translation, per-sample python loops for region contact, `.cpu()` writebacks.
+Here the entire cycle -- ground-truth SMPL forward, fits lookup, camera
+estimation, HMR forward, in-the-loop SMPLify-DC, accept/reject, fits
+writeback, loss, gradient, optimizer update -- is a single XLA program over
+device arrays. The fits array is part of the carried train state.
+"""
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tuch_tpu import constants
+from tuch_tpu.fitting import smplify_dc as smplify_mod
+from tuch_tpu.losses import regressor as RL
+from tuch_tpu.losses.prior import GMMPrior
+from tuch_tpu.losses.smplify import ContactAssets
+from tuch_tpu.models.smpl import SMPLModel, smpl_forward, smpl_forward_pose72
+from tuch_tpu.ops import contact as contact_ops
+from tuch_tpu.train import fits_store
+from tuch_tpu.utils.projection import (estimate_translation,
+                                       perspective_projection,
+                                       weak_perspective_to_translation)
+from tuch_tpu.utils.rotations import rotmat_to_aa
+
+
+class TuchAssets(NamedTuple):
+    """All static model data needed by a train step."""
+    smpl: SMPLModel
+    prior: GMMPrior
+    contact: ContactAssets
+    hd: Optional[RL.HDAssets]
+
+
+class TrainState(NamedTuple):
+    params: Any                 # HMR flax params
+    batch_stats: Any            # HMR batchnorm state
+    opt_state: Any              # optax state
+    fits: jnp.ndarray           # (N_total, 82) best-fit store
+    rng: jnp.ndarray            # PRNG key
+    step: jnp.ndarray           # int32 global step
+
+
+def region_contact_signature(verts: jnp.ndarray,
+                             assets: ContactAssets) -> jnp.ndarray:
+    """Min squared distance per annotated region pair, (B, P).
+
+    Replaces TUCH.contact_from_verts (train_module.py:69-91), whose comment
+    notes "Speed up this function will speed up training loop!" -- here it
+    is one batched gather + blocked min on device.
+    """
+    return contact_ops.region_pair_min_dists(
+        verts, assets.region_idx_a, assets.region_idx_b,
+        assets.region_mask_a, assets.region_mask_b)
+
+
+def make_train_step(hmr_model, assets: TuchAssets, options,
+                    optimizer: optax.GradientTransformation,
+                    num_contact_pairs: int):
+    """Build the jitted train step.
+
+    options: TrainConfig (tuch_tpu/config.py). Returns
+    step_fn(state, batch) -> (state, metrics, outputs) mirroring the
+    information flow of TUCH.forward_train_step (train_module.py:112-336).
+    """
+    weights = RL.LossWeights(
+        shape=options.shape_loss_weight,
+        keypoint=options.keypoint_loss_weight,
+        pose=options.pose_loss_weight,
+        beta=options.beta_loss_weight,
+        contact=options.contact_loss_weight,
+        openpose_train_weight=options.openpose_train_weight,
+        gt_train_weight=options.gt_train_weight)
+    focal_length = constants.FOCAL_LENGTH
+    img_res = options.img_res
+    run_smplify = bool(options.run_smplify)
+    use_contact_itl = bool(options.use_contact_in_the_loop)
+    smplify_cfg = smplify_mod.SMPLifyConfig(
+        num_iters=options.num_smplify_iters,
+        use_contact=use_contact_itl,
+        focal_length=focal_length,
+        euclthres=0.0,
+        contact_loss_weight=options.contact_in_the_loop_loss_weight)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        B = batch['img'].shape[0]
+        rng, drop_rng = jax.random.split(state.rng)
+
+        has_pose_3d = batch['has_pose_3d'].astype(bool)
+        has_disc_contact = batch['has_disc_contact'].astype(bool)
+        has_gt_kpts = batch['has_gt_kpts'].astype(bool)
+        has_smpl_ = (batch['has_smpl'].astype(bool)
+                     | batch['has_pgt_smpl'].astype(bool))
+
+        gt_keypoints_2d = batch['keypoints']        # (B, 49, 3), in [-1, 1]
+        gt_joints = batch['pose_3d']                # (B, 24, 4)
+        gt_pose = batch['pose']                     # (B, 72)
+        gt_betas = batch['betas']                   # (B, 10)
+        gt_disc_contact = batch['contact_vec']      # (B, P)
+        gidx = batch['fits_index']                  # (B,) packed fits rows
+        rot_deg = batch['rot_angle']
+        is_flipped = batch['is_flipped'].astype(bool)
+
+        # Ground-truth body (train_module.py:142-146).
+        gt_out = smpl_forward_pose72(assets.smpl, gt_betas, gt_pose)
+
+        # De-normalize 2D keypoints to pixel space (train_module.py:149-151).
+        kp_px = gt_keypoints_2d.at[..., :2].set(
+            0.5 * img_res * (gt_keypoints_2d[..., :2] + 1.0))
+
+        # Current best fits (train_module.py:156-166).
+        opt_pose, opt_betas = fits_store.lookup_fits(
+            state.fits, gidx, rot_deg, is_flipped)
+        opt_out = smpl_forward_pose72(assets.smpl, opt_betas, opt_pose)
+        opt_vertices, opt_joints = opt_out.vertices, opt_out.joints
+        opt_contact_l3 = region_contact_signature(opt_vertices,
+                                                  assets.contact)
+
+        # Camera translations by batched weighted lstsq
+        # (train_module.py:171-180; no host round-trip).
+        gt_cam_t = estimate_translation(
+            gt_out.joints, kp_px, focal_length, img_res, has_gt_kpts)
+        opt_cam_t = estimate_translation(
+            opt_joints, kp_px, focal_length, img_res, has_gt_kpts)
+        cam_center = jnp.full((B, 2), 0.5 * img_res)
+        opt_joint_loss = smplify_mod.get_fitting_loss(
+            assets.smpl, assets.prior, opt_pose, opt_betas, opt_cam_t,
+            cam_center, kp_px, has_gt_kpts,
+            focal_length=focal_length).mean(axis=-1)
+
+        # ------------------- regressor forward + loss --------------------
+        def loss_fn(params):
+            (pred_rotmat, pred_betas, pred_camera), new_model_state = \
+                hmr_model.apply(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    batch['img'], train=True, mutable=['batch_stats'],
+                    rngs={'dropout': drop_rng})
+            pred_out = smpl_forward(
+                assets.smpl, pred_betas, pred_rotmat[:, 1:],
+                pred_rotmat[:, :1], pose2rot=False)
+            pred_cam_t = weak_perspective_to_translation(
+                pred_camera, focal_length, img_res)
+            pred_kp2d = perspective_projection(
+                pred_out.joints,
+                jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), pred_cam_t,
+                focal_length, jnp.zeros((B, 2)))
+            pred_kp2d = pred_kp2d / (img_res / 2.0)
+
+            # -------------- in-the-loop optimization ----------------------
+            # (train_module.py:234-291). All smplify outputs are
+            # stop-gradient; the accept/reject logic is pure jnp.where.
+            o_pose, o_betas = opt_pose, opt_betas
+            o_verts, o_joints = opt_vertices, opt_joints
+            o_cam_t, o_jloss = opt_cam_t, opt_joint_loss
+            o_contact = opt_contact_l3
+            new_fits = state.fits
+            if run_smplify:
+                pred_pose_aa = jnp.nan_to_num(rotmat_to_aa(
+                    jax.lax.stop_gradient(pred_rotmat))).reshape(B, 72)
+                res = smplify_mod.smplify_dc(
+                    assets.smpl, assets.prior, assets.contact,
+                    pred_pose_aa,
+                    jax.lax.stop_gradient(pred_betas),
+                    jax.lax.stop_gradient(pred_cam_t),
+                    cam_center, kp_px, gt_disc_contact,
+                    ignore_idxs=has_smpl_,
+                    has_discrete_contact=has_disc_contact,
+                    has_gt_keypoints=has_gt_kpts,
+                    config=smplify_cfg)
+                new_jloss = res.reprojection_loss.mean(axis=-1)
+                update = new_jloss <= o_jloss
+                new_contact = region_contact_signature(res.vertices,
+                                                       assets.contact)
+                # Contact acceptance: the new fit must not worsen any
+                # annotated region distance (train_module.py:265-271).
+                update_contact = ((gt_disc_contact * new_contact)
+                                  <= (gt_disc_contact * o_contact)
+                                  ).sum(axis=1) > 0
+                if use_contact_itl:
+                    update = jnp.where(has_disc_contact,
+                                       update & update_contact, update)
+
+                sel = update[:, None]
+                o_jloss = jnp.where(update, new_jloss, o_jloss)
+                o_pose = jnp.where(sel, res.pose, o_pose)
+                o_betas = jnp.where(sel, res.betas, o_betas)
+                o_cam_t = jnp.where(sel, res.camera_translation, o_cam_t)
+                o_verts = jnp.where(sel[..., None], res.vertices, o_verts)
+                o_joints = jnp.where(sel[..., None], res.joints, o_joints)
+                o_contact = jnp.where(sel, new_contact, o_contact)
+                new_fits = fits_store.update_fits(
+                    state.fits, gidx, o_pose, o_betas, rot_deg, is_flipped,
+                    update)
+
+            # GT override (train_module.py:287-291).
+            selg = has_smpl_[:, None]
+            o_cam_t = jnp.where(selg, gt_cam_t, o_cam_t)
+            o_pose = jnp.where(selg, gt_pose, o_pose)
+            o_betas = jnp.where(selg, gt_betas, o_betas)
+            o_joints = jnp.where(selg[..., None], gt_out.joints, o_joints)
+            o_verts = jnp.where(selg[..., None], gt_out.vertices, o_verts)
+
+            valid_fit = (o_jloss < options.smplify_threshold) | has_smpl_
+
+            total, loss_dict = RL.regressor_loss(
+                weights, pred_rotmat, pred_betas, o_pose, o_betas,
+                pred_kp2d, gt_keypoints_2d, pred_out.joints, gt_joints,
+                has_pose_3d, pred_out.vertices, o_verts, pred_camera,
+                valid_fit, valid_fit, contact_assets=assets.contact,
+                euclthres=constants.EUCLTHRES, hd=assets.hd)
+
+            aux = dict(
+                loss_dict=loss_dict,
+                batch_stats=new_model_state['batch_stats'],
+                fits=new_fits,
+                outputs=dict(
+                    pred_vertices=jax.lax.stop_gradient(pred_out.vertices),
+                    opt_vertices=o_verts,
+                    pred_cam_t=jax.lax.stop_gradient(pred_cam_t),
+                    opt_cam_t=o_cam_t,
+                    pred_camera=jax.lax.stop_gradient(pred_camera),
+                    gt_contact_l3=gt_disc_contact,
+                    has_contact=has_disc_contact,
+                    valid_kpts_anno=valid_fit | has_smpl_,
+                    gt_keypoints=kp_px,
+                    opt_joint_loss=o_jloss,
+                ))
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {'loss': loss, **aux['loss_dict']}
+        new_state = TrainState(
+            params=new_params, batch_stats=aux['batch_stats'],
+            opt_state=new_opt_state, fits=aux['fits'], rng=rng,
+            step=state.step + 1)
+        return new_state, metrics, aux['outputs']
+
+    return step_fn
+
+
+def spin_reference_forward(hmr_model, variables, images, smpl: SMPLModel,
+                           focal_length: float, img_res: int):
+    """Frozen-model forward for visualization (train_module.py:186-195).
+
+    Unlike the reference, this is NOT run inside the train step -- the
+    trainer calls it only when producing image summaries.
+    """
+    rotmat, betas, cam = hmr_model.apply(variables, images, train=False)
+    out = smpl_forward(smpl, betas, rotmat[:, 1:], rotmat[:, :1],
+                       pose2rot=False)
+    cam_t = weak_perspective_to_translation(cam, focal_length, img_res)
+    return out.vertices, cam_t

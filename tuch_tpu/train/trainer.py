@@ -1,0 +1,259 @@
+"""Training engine: epoch loop, validation, summaries, checkpoint/resume.
+
+Replaces tuch/train/trainer.py. The loop's only host work is feeding numpy
+batches and logging -- the train step (including in-the-loop SMPLify and the
+fits store) is one jitted device program built by
+tuch_tpu.train.module.make_train_step. Validation (MPJPE + v2v on the val
+set, reference trainer.py:172-267) runs as a second jitted function.
+"""
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tuch_tpu import constants
+from tuch_tpu.data.loader import CheckpointLoader, LoaderState, \
+    add_fits_indices
+from tuch_tpu.models.smpl import smpl_forward, smpl_forward_pose72
+from tuch_tpu.train import fits_store
+from tuch_tpu.train.checkpoint import CheckpointManager
+from tuch_tpu.train.module import TrainState, TuchAssets, make_train_step
+from tuch_tpu.utils.projection import weak_perspective_to_translation
+
+
+def freq_to_step(freq: float, total_steps: int) -> int:
+    """Fraction-of-epoch frequency -> step interval (saver.py:34-40)."""
+    if freq <= 0:
+        return max(1, total_steps + 1)
+    return max(1, int(total_steps * freq))
+
+
+class MetricsLogger:
+    """JSONL metrics + optional TensorBoard (via torch, if available)."""
+
+    def __init__(self, summary_dir: str):
+        os.makedirs(summary_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(summary_dir, 'metrics.jsonl'), 'a')
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(summary_dir)
+        except Exception:
+            pass
+
+    def scalars(self, tag_prefix: str, metrics: Dict[str, Any], step: int):
+        rec = {'step': step,
+               **{f'{tag_prefix}/{k}': float(np.asarray(v))
+                  for k, v in metrics.items()}}
+        self.jsonl.write(json.dumps(rec) + '\n')
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f'{tag_prefix}/{k}',
+                                   float(np.asarray(v)), step)
+
+    def image(self, tag: str, img_hwc: np.ndarray, step: int):
+        if self.tb is not None:
+            self.tb.add_image(tag, img_hwc, step, dataformats='HWC')
+
+
+class Trainer:
+    def __init__(self, options, hmr_model, init_variables,
+                 assets: TuchAssets, train_ds, val_ds,
+                 j_regressor_h36m: Optional[np.ndarray] = None,
+                 renderer=None):
+        self.options = options
+        self.model = hmr_model
+        self.assets = assets
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.renderer = renderer
+        self.joint_mapper_h36m = np.asarray(constants.H36M_TO_J14)
+        self.j_regressor_h36m = j_regressor_h36m
+        self.logger = MetricsLogger(options.summary_dir)
+        self.ckpt = CheckpointManager(options.checkpoint_dir)
+        self.endtime = time.time() + options.time_to_run
+
+        self.optimizer = optax.adam(options.lr)
+        sizes = train_ds.dataset_sizes()
+        store = fits_store.create_fits_store(
+            sizes, static_fits_dir=None,
+            checkpoint_dir=options.checkpoint_dir)
+        self.fits_layout = store
+        self.offsets_table = np.asarray(
+            [store.offsets[n] for n in train_ds.dataset_list], np.int32)
+
+        num_pairs = int(assets.contact.region_idx_a.shape[0])
+        self.step_fn = jax.jit(make_train_step(
+            hmr_model, assets, options, self.optimizer, num_pairs))
+
+        params = init_variables['params']
+        batch_stats = init_variables.get('batch_stats', {})
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            fits=store.params,
+            rng=jax.random.PRNGKey(options.seed),
+            step=jnp.asarray(0, jnp.int32))
+
+        self.loader = CheckpointLoader(
+            train_ds, batch_size=options.batch_size,
+            shuffle=options.shuffle_train,
+            num_workers=options.num_workers, seed=options.seed)
+        self.loader_state = LoaderState(epoch=0, batch_idx=0,
+                                        perm_seed=options.seed)
+
+        if options.resume and self.ckpt.exists():
+            self.state, meta = self.ckpt.restore(self.state,
+                                                 options.checkpoint)
+            ls = meta or {}
+            self.loader_state = LoaderState(
+                epoch=int(ls.get('epoch', 0)),
+                batch_idx=int(ls.get('batch_idx', 0)),
+                perm_seed=int(ls.get('perm_seed', options.seed)))
+            print(f'Resumed at step {int(np.asarray(self.state.step))}, '
+                  f'epoch {self.loader_state.epoch}, '
+                  f'batch {self.loader_state.batch_idx}')
+
+        self._val_fn = jax.jit(self._make_val_fn())
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        for epoch in range(self.loader_state.epoch,
+                           self.options.num_epochs):
+            self.train_one_epoch(epoch)
+            self.loader_state = LoaderState(epoch=epoch + 1, batch_idx=0,
+                                            perm_seed=self.options.seed)
+            print(f'================ EPOCH {epoch} DONE ================')
+            if time.time() > self.endtime:
+                print('time budget reached; stopping')
+                break
+
+    def train_one_epoch(self, epoch: int):
+        nb = self.loader.num_batches()
+        summary_steps = freq_to_step(self.options.summary_freq, nb)
+        checkpoint_steps = freq_to_step(
+            self.options.val_and_checkpoint_freq, nb)
+
+        start = self.loader_state.batch_idx \
+            if self.loader_state.epoch == epoch else 0
+        state_iter = LoaderState(epoch=epoch, batch_idx=start,
+                                 perm_seed=self.options.seed)
+        t_last = time.time()
+        for bi, batch in enumerate(self.loader.epoch_iter(state_iter),
+                                   start=start):
+            batch = add_fits_indices(batch, self.offsets_table)
+            self.state, metrics, outputs = self.step_fn(self.state, batch)
+            step = int(np.asarray(self.state.step))
+
+            now = time.time()
+            metrics = dict(metrics)
+            metrics['steps_per_sec'] = 1.0 / max(now - t_last, 1e-9)
+            t_last = now
+            self.logger.scalars('train', metrics, step)
+            if step % 25 == 0:
+                msg = ', '.join(f'{k}: {float(np.asarray(v)):.4f}'
+                                for k, v in metrics.items())
+                print(f'[{epoch}:{bi}/{nb}] {msg}', flush=True)
+
+            if self.renderer is not None and step % summary_steps == 0:
+                self._image_summaries(batch, outputs, step)
+
+            if step % checkpoint_steps == 0:
+                val_error = self.validate(step)
+                self.ckpt.save(
+                    self.state,
+                    {'epoch': epoch, 'batch_idx': bi + 1,
+                     'perm_seed': self.options.seed},
+                    val_error)
+                fits_store.save_fits(
+                    self.fits_layout._replace(params=self.state.fits),
+                    self.options.checkpoint_dir)
+            if time.time() > self.endtime:
+                break
+
+    # ------------------------------------------------------------------
+    def _make_val_fn(self):
+        model, assets = self.model, self.assets
+
+        def val_fn(params, batch_stats, batch):
+            rotmat, betas, cam = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['img'], train=False)
+            pred = smpl_forward(assets.smpl, betas, rotmat[:, 1:],
+                                rotmat[:, :1], pose2rot=False)
+            gt = smpl_forward_pose72(assets.smpl, batch['betas'],
+                                     batch['pose'])
+            return pred.vertices, gt.vertices, cam
+
+        return val_fn
+
+    def validate(self, step: int) -> float:
+        """MPJPE + v2v on the validation set (trainer.py:172-267)."""
+        if self.val_ds is None:
+            return float('nan')
+        loader = CheckpointLoader(self.val_ds,
+                                  batch_size=self.options.batch_size,
+                                  shuffle=False, num_workers=2)
+        mpjpe_all, v2v_all = [], []
+        first_outputs = None
+        for bi, batch in enumerate(loader.epoch_iter(
+                LoaderState(epoch=0, batch_idx=0, perm_seed=0))):
+            pred_v, gt_v, cam = self._val_fn(self.state.params,
+                                             self.state.batch_stats, batch)
+            pred_v, gt_v = np.asarray(pred_v), np.asarray(gt_v)
+            if self.j_regressor_h36m is not None:
+                J = self.j_regressor_h36m
+                pred_j = np.einsum('jv,bvd->bjd', J, pred_v)
+                gt_j = np.einsum('jv,bvd->bjd', J, gt_v)
+                pred_j = pred_j - pred_j[:, :1]
+                gt_j = gt_j - gt_j[:, :1]
+                pred_j = pred_j[:, self.joint_mapper_h36m]
+                gt_j = gt_j[:, self.joint_mapper_h36m]
+            else:
+                pred_j, gt_j = pred_v[:, ::97], gt_v[:, ::97]
+            mpjpe_all.append(np.sqrt(((pred_j - gt_j) ** 2).sum(-1))
+                             .mean(-1))
+            v2v_all.append(np.sqrt(((pred_v - gt_v) ** 2).sum(-1)).mean(-1))
+            if bi == 0:
+                first_outputs = (batch, pred_v, np.asarray(cam))
+        if not mpjpe_all:
+            return float('nan')
+        mpjpe = float(np.concatenate(mpjpe_all).mean() * 1000)
+        v2v = float(np.concatenate(v2v_all).mean() * 1000)
+        self.logger.scalars('val', {'mpjpe': mpjpe, 'v2v': v2v}, step)
+        print(f'[val] mpjpe {mpjpe:.2f}mm v2v {v2v:.2f}mm', flush=True)
+        if self.renderer is not None and first_outputs is not None:
+            batch, pred_v, cam = first_outputs
+            cam_t = np.asarray(weak_perspective_to_translation(
+                jnp.asarray(cam), constants.FOCAL_LENGTH,
+                self.options.img_res))
+            img = self._denorm(batch['img'][0])
+            over = self.renderer.render_over(pred_v[0], cam_t[0], img)
+            self.logger.image('val/pred_shape', over, step)
+        return mpjpe
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _denorm(img: np.ndarray) -> np.ndarray:
+        mean = np.asarray(constants.IMG_NORM_MEAN, np.float32)
+        std = np.asarray(constants.IMG_NORM_STD, np.float32)
+        return np.clip(img * std + mean, 0, 1)
+
+    def _image_summaries(self, batch, outputs, step: int):
+        """Pred vs opt overlays (reference trainer.py:269-315)."""
+        img = self._denorm(batch['img'][0])
+        pv = np.asarray(outputs['pred_vertices'][0])
+        ov = np.asarray(outputs['opt_vertices'][0])
+        pc = np.asarray(outputs['pred_cam_t'][0])
+        oc = np.asarray(outputs['opt_cam_t'][0])
+        self.logger.image('train/pred_shape',
+                          self.renderer.render_over(pv, pc, img), step)
+        self.logger.image('train/opt_shape',
+                          self.renderer.render_over(ov, oc, img), step)
