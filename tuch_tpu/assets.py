@@ -47,40 +47,37 @@ def uv_sphere(segments: int, rings: int, radius: float = 1.0
     """
     assert rings >= 3
     n_lat = rings - 2  # interior latitude rings
-    verts = [np.array([0.0, 0.0, radius])]  # north pole, index 0
-    for i in range(1, n_lat + 1):
-        theta = np.pi * i / (n_lat + 1)
-        z = radius * np.cos(theta)
-        r = radius * np.sin(theta)
-        for j in range(segments):
-            phi = 2 * np.pi * j / segments
-            verts.append(np.array([r * np.cos(phi), r * np.sin(phi), z]))
-    south = len(verts)
-    verts.append(np.array([0.0, 0.0, -radius]))
-    verts = np.stack(verts).astype(np.float32)
+    theta = np.pi * np.arange(1, n_lat + 1) / (n_lat + 1)
+    phi = 2 * np.pi * np.arange(segments) / segments
+    z = radius * np.cos(theta)[:, None]
+    r = radius * np.sin(theta)[:, None]
+    ring_verts = np.stack(
+        [np.broadcast_to(r * np.cos(phi)[None], (n_lat, segments)),
+         np.broadcast_to(r * np.sin(phi)[None], (n_lat, segments)),
+         np.broadcast_to(z, (n_lat, segments))],
+        axis=-1).reshape(-1, 3)
+    verts = np.concatenate([
+        np.array([[0.0, 0.0, radius]]), ring_verts,
+        np.array([[0.0, 0.0, -radius]])], axis=0).astype(np.float32)
+    south = verts.shape[0] - 1
 
-    faces = []
-    ring_start = lambda i: 1 + i * segments  # i in [0, n_lat)
-    # top cap
-    for j in range(segments):
-        a = ring_start(0) + j
-        b = ring_start(0) + (j + 1) % segments
-        faces.append([0, a, b])
-    # quads between rings
-    for i in range(n_lat - 1):
-        for j in range(segments):
-            a = ring_start(i) + j
-            b = ring_start(i) + (j + 1) % segments
-            c = ring_start(i + 1) + j
-            d = ring_start(i + 1) + (j + 1) % segments
-            faces.append([a, c, d])
-            faces.append([a, d, b])
-    # bottom cap
-    for j in range(segments):
-        a = ring_start(n_lat - 1) + j
-        b = ring_start(n_lat - 1) + (j + 1) % segments
-        faces.append([a, south, b])
-    return verts, np.asarray(faces, dtype=np.int32)
+    j = np.arange(segments)
+    jn = (j + 1) % segments
+    ring0 = 1 + j
+    top = np.stack([np.zeros_like(j), ring0, 1 + jn], axis=-1)
+    i = np.arange(n_lat - 1)[:, None]
+    a = 1 + i * segments + j[None]
+    b = 1 + i * segments + jn[None]
+    c = 1 + (i + 1) * segments + j[None]
+    d = 1 + (i + 1) * segments + jn[None]
+    quads = np.concatenate(
+        [np.stack([a, c, d], -1).reshape(-1, 3),
+         np.stack([a, d, b], -1).reshape(-1, 3)], axis=0)
+    last = 1 + (n_lat - 1) * segments
+    bottom = np.stack([last + j, np.full_like(j, south), last + jn],
+                      axis=-1)
+    faces = np.concatenate([top, quads, bottom], axis=0)
+    return verts, faces.astype(np.int32)
 
 
 class SyntheticExtras(NamedTuple):
@@ -92,8 +89,9 @@ class SyntheticExtras(NamedTuple):
     mean_pose6d: np.ndarray       # (144,) 6d pose init for HMR
     mean_shape: np.ndarray        # (10,)
     mean_cam: np.ndarray          # (3,)
-    hd_vert_regressor: np.ndarray  # (H, V)
-    hd_geovec: np.ndarray          # (H,) face index each HD vert samples from
+    hd_vert_ids: np.ndarray       # (H, k) SMPL vert ids per HD point
+    hd_bary: np.ndarray           # (H, k) barycentric weights
+    hd_geovec: np.ndarray         # (H,) face index each HD vert samples from
 
 
 def _sphere_params(num_verts: int) -> Tuple[int, int]:
@@ -164,10 +162,13 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
         joint_map=constants.JOINT_MAP_49.copy(),
     )
 
-    # Geodesic distances: great-circle distance on the template sphere.
-    unit = sphere / np.linalg.norm(sphere, axis=-1, keepdims=True)
-    cos = np.clip(unit @ unit.T, -1.0, 1.0)
-    geodists = np.arccos(cos).astype(np.float32)
+    # Geodesic distances: great-circle distance on the template sphere
+    # (float32 throughout; the V^2 matrix is ~190 MB at full size).
+    unit = (sphere / np.linalg.norm(sphere, axis=-1, keepdims=True)
+            ).astype(np.float32)
+    cos = unit @ unit.T
+    np.clip(cos, -1.0, 1.0, out=cos)
+    geodists = np.arccos(cos, out=cos)
 
     # Segments: latitude bands (closed by their boundary rings).
     seg_names = ['band0', 'band1', 'band2']
@@ -205,13 +206,12 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
     ident6d = np.tile(np.array([1, 0, 0, 1, 0, 0], dtype=np.float32), (J,))
     mean_cam = np.array([0.9, 0.0, 0.0], dtype=np.float32)
 
-    # Synthetic HD surface: one sample point per face (barycenter), H = F.
+    # Synthetic HD surface: one sample point per face (its barycenter),
+    # H = F, stored directly in compact barycentric form.
     F = faces.shape[0]
-    hd_reg = np.zeros((F, V), dtype=np.float32)
-    rows = np.arange(F)
-    for k in range(3):
-        hd_reg[rows, faces[:, k]] += 1.0 / 3
-    hd_geovec = rows.astype(np.int32)
+    hd_vert_ids = faces.astype(np.int32)
+    hd_bary = np.full((F, 3), 1.0 / 3, dtype=np.float32)
+    hd_geovec = np.arange(F, dtype=np.int32)
 
     extras = SyntheticExtras(
         geodists=geodists,
@@ -221,7 +221,8 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
         mean_pose6d=ident6d,
         mean_shape=np.zeros(S, dtype=np.float32),
         mean_cam=mean_cam,
-        hd_vert_regressor=hd_reg,
+        hd_vert_ids=hd_vert_ids,
+        hd_bary=hd_bary,
         hd_geovec=hd_geovec,
     )
     return model, extras

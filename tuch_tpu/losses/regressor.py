@@ -111,13 +111,20 @@ def make_hd_assets(vert_regressor: np.ndarray, geovec: np.ndarray,
                    faces: np.ndarray, k: int = 4) -> HDAssets:
     """Compact an (H, V) upsampling matrix to top-k barycentric form."""
     vr = np.asarray(vert_regressor)
-    order = np.argsort(-np.abs(vr), axis=1)[:, :k]
+    order = np.argpartition(-np.abs(vr), k - 1, axis=1)[:, :k]
     rows = np.arange(vr.shape[0])[:, None]
     weights = vr[rows, order]
+    return make_hd_assets_compact(order, weights, geovec, faces)
+
+
+def make_hd_assets_compact(vert_ids: np.ndarray, bary: np.ndarray,
+                           geovec: np.ndarray, faces: np.ndarray
+                           ) -> HDAssets:
+    """Build HDAssets directly from barycentric tables."""
     geovec = np.asarray(geovec)
     geovec_verts = np.asarray(faces)[geovec][:, 0]
-    return HDAssets(vert_ids=jnp.asarray(order.astype(np.int32)),
-                    bary=jnp.asarray(weights.astype(np.float32)),
+    return HDAssets(vert_ids=jnp.asarray(np.asarray(vert_ids, np.int32)),
+                    bary=jnp.asarray(np.asarray(bary, np.float32)),
                     geovec=jnp.asarray(geovec.astype(np.int32)),
                     geovec_verts=jnp.asarray(geovec_verts.astype(np.int32)))
 

@@ -107,16 +107,25 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     reference's no_grad blocks (tuch/smplify/losses.py:79-93); the returned
     distance re-gathers through the argmin so gradients flow to both
     endpoints (losses.py:98).
+
+    On TPU backends the quadratic pieces run as fused Pallas kernels
+    (tuch_tpu/ops/contact_pallas.py); elsewhere the streamed jnp versions.
     """
+    from tuch_tpu.ops import contact_pallas as cpk
+
     vd = jax.lax.stop_gradient(verts)
-    wn = contact_ops.winding_numbers_same_tris(vd, vd, assets.faces,
-                                               block_f=block_f)
+    if cpk.pallas_available():
+        wn = cpk.winding_numbers_pallas(vd, vd, assets.faces)
+        _, argmin = cpk.masked_min_dist_pallas(
+            vd, assets.geomask.astype(jnp.uint8))
+    else:
+        wn = contact_ops.winding_numbers_same_tris(vd, vd, assets.faces,
+                                                   block_f=block_f)
+        _, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
     exterior = wn <= 0.99
     if assets.segment_tables is not None:
         exterior = forgive_segment_interiors(assets.segment_tables, vd,
                                              exterior)
-
-    _, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
     nearest = jnp.take_along_axis(verts, argmin[..., None], axis=1)
     v2v_min = jnp.linalg.norm(verts - nearest, axis=-1)
     in_contact = jax.lax.stop_gradient(v2v_min) < euclthres

@@ -139,6 +139,11 @@ def create_hmr(mean_pose6d, mean_shape, mean_cam, n_iter: int = 3,
 
 
 def init_hmr(model: HMR, rng, img_res: int = 224):
-    """Initialize parameters; returns the flax variables dict."""
-    dummy = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
+    """Initialize parameters; returns the flax variables dict.
+
+    Parameters are resolution-independent (global mean pooling), so init
+    always traces at 64x64 to keep startup fast.
+    """
+    del img_res
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     return model.init({'params': rng, 'dropout': rng}, dummy, train=False)

@@ -259,17 +259,25 @@ def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b
     like torch.min in the reference.
     """
 
-    def single(v):  # (V, 3)
-        va = v[idx_a]  # (P, R, 3)
-        vb = v[idx_b]
-        d2 = (jnp.sum(va * va, -1)[:, :, None]
-              + jnp.sum(vb * vb, -1)[:, None, :]
-              - 2.0 * jnp.einsum('prd,psd->prs', va, vb))
-        allowed = mask_a[:, :, None] & mask_b[:, None, :]
-        d2 = jnp.where(allowed, d2, jnp.inf)
-        return jnp.min(d2.reshape(d2.shape[0], -1), axis=-1)
+    def one_pair(carry, tables):
+        ia, ib, ma, mb = tables
 
-    return jax.vmap(single)(verts)
+        def single(v):
+            va = v[ia]  # (R, 3)
+            vb = v[ib]
+            d2 = (jnp.sum(va * va, -1)[:, None]
+                  + jnp.sum(vb * vb, -1)[None, :]
+                  - 2.0 * va @ vb.T)
+            d2 = jnp.where(ma[:, None] & mb[None, :], d2, jnp.inf)
+            return jnp.min(d2)
+
+        return carry, jax.vmap(single)(verts)
+
+    # scan over pairs keeps the live memory at (B, R, R) instead of
+    # (B, P, R, R)
+    _, mins = jax.lax.scan(one_pair, 0,
+                           (idx_a, idx_b, mask_a, mask_b))
+    return mins.T  # (B, P)
 
 
 def batch_face_normals(triangles: jnp.ndarray) -> jnp.ndarray:

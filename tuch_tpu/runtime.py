@@ -56,7 +56,7 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
         classes, csig = extras.contact_classes, extras.contact_csig
         mean_pose6d = extras.mean_pose6d
         mean_shape, mean_cam = extras.mean_shape, extras.mean_cam
-        hd_reg, hd_geovec = extras.hd_vert_regressor, extras.hd_geovec
+        hd_compact = (extras.hd_vert_ids, extras.hd_bary, extras.hd_geovec)
     else:
         smpl = assets_mod.load_smpl_pkl(os.path.join(
             cfg.SMPL_MODEL_DIR, 'SMPL_NEUTRAL.pkl'))
@@ -82,12 +82,16 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
                 'smpl_neutral_hd_sample_from_mesh_out.pkl'), 'rb') as f:
             hd_geovec = np.asarray(
                 pickle.load(f)['faces_vert_is_sampled_from'])
+        k = 4
+        order = np.argpartition(-np.abs(hd_reg), k - 1, axis=1)[:, :k]
+        bary = hd_reg[np.arange(hd_reg.shape[0])[:, None], order]
+        hd_compact = (order, bary, hd_geovec)
         # pack extras mirror for downstream consumers
         extras = assets_mod.SyntheticExtras(
             geodists=geodists, segments=segments or {},
             contact_classes=classes, contact_csig=csig,
             mean_pose6d=mean_pose6d, mean_shape=mean_shape,
-            mean_cam=mean_cam, hd_vert_regressor=hd_reg,
+            mean_cam=mean_cam, hd_vert_ids=order, hd_bary=bary,
             hd_geovec=hd_geovec)
 
     prior = create_gmm_prior(gmm)
@@ -104,7 +108,8 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
         segment_tables=seg_tables)
     hd = None
     if with_hd:
-        hd = make_hd_assets(hd_reg, hd_geovec, np.asarray(smpl.faces))
+        from tuch_tpu.losses.regressor import make_hd_assets_compact
+        hd = make_hd_assets_compact(*hd_compact, np.asarray(smpl.faces))
 
     dtype = jnp.bfloat16 if (options is not None and getattr(
         options, 'compute_dtype', 'float32') == 'bfloat16') else jnp.float32
