@@ -1,0 +1,200 @@
+"""Tests for the converter, renderer/native rasterizer, eval metrics, and
+EFT machinery."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tuch_tpu import assets
+from tuch_tpu.models import convert as cv
+from tuch_tpu.models import hmr as hmr_mod
+from tuch_tpu.viz import native
+from tuch_tpu.viz.renderer import Renderer, save_obj
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def fake_torch_state_dict():
+    """Reference-shaped HMR state dict (keys as in tuch/models/hmr.py)."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(cin, cout, k):
+        return rng.randn(cout, cin, k, k).astype(np.float32) * 0.01
+
+    def bn(c, prefix):
+        sd[f'{prefix}.weight'] = np.ones(c, np.float32)
+        sd[f'{prefix}.bias'] = np.zeros(c, np.float32)
+        sd[f'{prefix}.running_mean'] = np.zeros(c, np.float32)
+        sd[f'{prefix}.running_var'] = np.ones(c, np.float32)
+
+    sd['conv1.weight'] = conv(3, 64, 7)
+    bn(64, 'bn1')
+    inplanes = 64
+    for stage, (blocks, planes) in enumerate(
+            zip([3, 4, 6, 3], [64, 128, 256, 512]), start=1):
+        for b in range(blocks):
+            pre = f'layer{stage}.{b}'
+            sd[f'{pre}.conv1.weight'] = conv(inplanes if b == 0 else
+                                             planes * 4, planes, 1)
+            bn(planes, f'{pre}.bn1')
+            sd[f'{pre}.conv2.weight'] = conv(planes, planes, 3)
+            bn(planes, f'{pre}.bn2')
+            sd[f'{pre}.conv3.weight'] = conv(planes, planes * 4, 1)
+            bn(planes * 4, f'{pre}.bn3')
+            if b == 0:
+                sd[f'{pre}.downsample.0.weight'] = conv(inplanes,
+                                                        planes * 4, 1)
+                bn(planes * 4, f'{pre}.downsample.1')
+        inplanes = planes * 4
+    npose = 24 * 6
+    sd['fc1.weight'] = rng.randn(1024, 2048 + npose + 13).astype(
+        np.float32) * 0.01
+    sd['fc1.bias'] = np.zeros(1024, np.float32)
+    sd['fc2.weight'] = rng.randn(1024, 1024).astype(np.float32) * 0.01
+    sd['fc2.bias'] = np.zeros(1024, np.float32)
+    for name, n in (('decpose', npose), ('decshape', 10), ('deccam', 3)):
+        sd[f'{name}.weight'] = rng.randn(n, 1024).astype(np.float32) * 0.01
+        sd[f'{name}.bias'] = np.zeros(n, np.float32)
+    return sd
+
+
+def test_convert_state_dict_complete():
+    sd = fake_torch_state_dict()
+    variables = cv.convert_state_dict(sd)
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    model = hmr_mod.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                               extras.mean_cam)
+    missing, extra, bad = cv.verify_against_model(variables, model)
+    assert not missing, f'missing params: {missing[:5]}'
+    assert not extra, f'extra params: {extra[:5]}'
+    assert not bad, f'bad shapes: {bad[:5]}'
+
+
+def test_converted_model_runs():
+    sd = fake_torch_state_dict()
+    variables = cv.convert_state_dict(sd)
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    model = hmr_mod.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                               extras.mean_cam)
+    x = jnp.zeros((1, 64, 64, 3))
+    rotmat, betas, cam = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(rotmat)).all()
+
+
+# ---------------------------------------------------------------------------
+# Native rasterizer / renderer
+# ---------------------------------------------------------------------------
+
+def test_native_lib_builds():
+    lib = native.get_lib()
+    assert lib is not None, 'g++ build of native.cpp failed'
+
+
+def test_rasterize_sphere_coverage(tiny_smpl):
+    model, _ = tiny_smpl
+    verts = np.asarray(model.v_template) + np.array([0, 0, 3.0],
+                                                    np.float32)
+    colors = np.tile([0.5, 0.6, 0.7], (verts.shape[0], 1)).astype(
+        np.float32)
+    rgb, mask = native.rasterize(verts, np.asarray(model.faces), colors,
+                                 128, 128, 200.0, 64.0, 64.0)
+    # sphere of radius ~0.35-0.9 at z=3 with f=200 covers a central blob
+    assert 0.05 < mask.mean() < 0.9
+    assert rgb[mask > 0].max() <= 1.0
+    assert (rgb[mask > 0] > 0).any()
+    # center pixel covered, corner not
+    assert mask[64, 64] == 1.0
+    assert mask[2, 2] == 0.0
+
+
+def test_renderer_overlay_and_grid(tiny_smpl):
+    model, extras = tiny_smpl
+    r = Renderer(focal_length=200.0, img_res=96,
+                 faces=np.asarray(model.faces),
+                 contact_classes=extras.contact_classes,
+                 contact_csig=extras.contact_csig)
+    verts = np.asarray(model.v_template)
+    img = np.zeros((96, 96, 3), np.float32)
+    cv_vec = np.zeros(len(extras.contact_classes))
+    cv_vec[0] = 1.0
+    out = r.render_over(verts, np.array([0, 0, 3.0]), img,
+                        contact_vec=cv_vec)
+    assert out.shape == (96, 96, 3)
+    assert out.max() > 0
+    grid = r.visualize_tbm([verts, verts],
+                           [np.array([0, 0, 3.0])] * 2, [img, img])
+    assert grid.shape == (96, 192, 3)
+
+
+def test_save_obj_roundtrip(tmp_path, tiny_smpl):
+    model, _ = tiny_smpl
+    path = str(tmp_path / 'm.obj')
+    save_obj(path, np.asarray(model.v_template), np.asarray(model.faces))
+    lines = open(path).read().splitlines()
+    nv = sum(1 for l in lines if l.startswith('v '))
+    nf = sum(1 for l in lines if l.startswith('f '))
+    assert nv == model.v_template.shape[0]
+    assert nf == model.faces.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Eval metrics
+# ---------------------------------------------------------------------------
+
+def test_report_contact_subsets():
+    from tuch_tpu.eval.evaluate import report_with_contact_subsets
+    mpjpe = np.array([0.1, 0.2, 0.3, 0.4])
+    recon = np.array([0.05, 0.1, 0.15, 0.2])
+    cnc = np.array([0.005, np.inf, 0.02, np.inf])
+    out = report_with_contact_subsets(mpjpe, recon, cnc)
+    assert out['n_contact'] == 1 and out['n_no_contact'] == 2
+    np.testing.assert_allclose(out['mpjpe_contact'], 100.0)
+    np.testing.assert_allclose(out['mpjpe_no_contact'], 300.0)
+    np.testing.assert_allclose(out['mpjpe_unclear'], 300.0)
+
+
+# ---------------------------------------------------------------------------
+# EFT
+# ---------------------------------------------------------------------------
+
+def test_eft_fit_one_early_stop(tiny_smpl):
+    from tuch_tpu.fitting.eft import make_eft_fit_fn
+    from tuch_tpu.losses.eft import EFTWeights
+    from tests.test_losses import make_contact_assets
+    model, extras = tiny_smpl
+    hmr = hmr_mod.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                             extras.mean_cam)
+    variables = hmr_mod.init_hmr(hmr, jax.random.PRNGKey(0), img_res=64)
+    ca = make_contact_assets((model, extras))
+    fit = make_eft_fit_fn(hmr, model, ca, EFTWeights(), max_steps=4,
+                          min_steps=1, early_stop_loss=1e12, img_res=64)
+    kp = np.concatenate([np.random.RandomState(0).uniform(-1, 1, (1, 49, 2)),
+                         np.ones((1, 49, 1))], -1).astype(np.float32)
+    P = len(extras.contact_classes)
+    pose, betas, steps, loss = fit(
+        variables['params'], variables['batch_stats'],
+        jnp.zeros((1, 64, 64, 3)), jnp.asarray(kp), jnp.zeros((1, P)),
+        jax.random.PRNGKey(1))
+    # early_stop_loss huge -> stops right after min_steps
+    assert int(steps) == 2
+    assert pose.shape == (1, 72)
+
+
+def test_eft_merge_shards(tmp_path):
+    from tuch_tpu.fitting.eft import merge_shards
+    base = {'imgname': np.array(['a', 'b', 'c'])}
+    f1 = str(tmp_path / 's0.npz')
+    np.savez(f1, pose=np.eye(3, 72, dtype=np.float32) * 5,
+             betas=np.ones((3, 10)), indices=np.array([0, 2]))
+    out = merge_shards([f1, str(tmp_path / 'missing.npz')], base,
+                       str(tmp_path / 'merged.pt'))
+    import joblib
+    db = joblib.load(out)
+    assert db['pose'][0, 0] == 5
+    assert db['pose'][1].sum() == 0  # untouched (missing shard tolerated)

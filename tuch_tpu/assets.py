@@ -114,15 +114,18 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
     J = constants.SMPL_NUM_JOINTS
     S = constants.SMPL_NUM_BETAS
 
-    # Body-ish template: squash the sphere into an ellipsoid.
-    v_template = sphere * np.array([0.35, 0.18, 0.9], dtype=np.float32)
+    # Body-ish template: squash the sphere into an ellipsoid and rotate the
+    # poles onto +y (SMPL's up axis) with a proper rotation (x, z, -y) so
+    # face orientation stays outward.
+    ell = sphere * np.array([0.35, 0.18, 0.9], dtype=np.float32)
+    v_template = np.stack([ell[:, 0], ell[:, 2], -ell[:, 1]],
+                          axis=-1).astype(np.float32)
 
-    # 24 joints along/around the vertical axis, inside the body.
-    zs = np.linspace(-0.75, 0.75, J)
-    joint_pos = np.stack([0.08 * np.sin(np.arange(J)),
-                          0.04 * np.cos(np.arange(J)), zs], axis=-1)
-    joint_pos = joint_pos.astype(np.float32) * np.array([1, 1, 1],
-                                                        dtype=np.float32)
+    # 24 joints along/around the vertical (y) axis, inside the body.
+    ys = np.linspace(-0.75, 0.75, J)
+    joint_pos = np.stack([0.08 * np.sin(np.arange(J)), ys,
+                          0.04 * np.cos(np.arange(J))], axis=-1)
+    joint_pos = joint_pos.astype(np.float32)
 
     # J_regressor: softmax of negative distance to each joint (rows sum to 1).
     d = np.linalg.norm(v_template[None, :, :] - joint_pos[:, None, :], axis=-1)

@@ -1,0 +1,146 @@
+"""demo_tuch: single-image (or directory) TUCH inference.
+
+Reference-compatible port of /root/reference/demo_tuch.py: bbox from an
+OpenPose json or bbox json -> crop -> HMR -> SMPL -> export .obj meshes
+(front/+-60 deg), camera pkl, and a rendered front+side png. The forward is
+one jitted program; with --synthetic it runs hermetically on the synthetic
+body/weights (no downloads needed).
+
+Usage:
+  python -m tuch_tpu.cli.demo_tuch --checkpoint ckpt.pt --img in.jpg \
+      --openpose in_keypoints.json --outdir out/
+"""
+
+import argparse
+import glob
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+from tuch_tpu import constants
+from tuch_tpu.data import transforms as T
+from tuch_tpu.viz.renderer import (Renderer, rotation_about, save_camera_pkl,
+                                   save_obj, save_png)
+
+
+def bbox_from_openpose(openpose_file, rescale=1.2, detection_thresh=0.2):
+    """Center+scale from OpenPose detections (demo_tuch.py:51-65)."""
+    with open(openpose_file) as f:
+        keypoints = json.load(f)['people'][0]['pose_keypoints_2d']
+    keypoints = np.reshape(np.array(keypoints), (-1, 3))
+    valid = keypoints[:, -1] > detection_thresh
+    valid_keypoints = keypoints[valid][:, :-1]
+    center = valid_keypoints.mean(axis=0)
+    bbox_size = (valid_keypoints.max(axis=0)
+                 - valid_keypoints.min(axis=0)).max()
+    return center, bbox_size / 200.0 * rescale
+
+
+def bbox_from_json(bbox_file):
+    """Center+scale from [x, y, w, h] bbox json (demo_tuch.py:67-78)."""
+    with open(bbox_file) as f:
+        bbox = np.array(json.load(f)['bbox'], np.float32)
+    center = bbox[:2] + 0.5 * bbox[2:]
+    return center, max(bbox[2], bbox[3]) / 200.0
+
+
+def process_image(img_file, bbox_file, openpose_file, input_res=224):
+    """Read + crop + normalize one image -> (img01, norm_img[1, H, W, 3])."""
+    from tuch_tpu.data.dataset import _read_image
+    img = _read_image(img_file)
+    if bbox_file is None and openpose_file is None:
+        h, w = img.shape[:2]
+        center = np.array([w // 2, h // 2])
+        scale = max(h, w) / 200.0
+    elif bbox_file is not None:
+        center, scale = bbox_from_json(bbox_file)
+    else:
+        center, scale = bbox_from_openpose(openpose_file)
+    crop = T.crop_image(img, center, scale, (input_res, input_res)) / 255.0
+    norm = T.normalize_image(crop)[None]
+    return crop.astype(np.float32), norm
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--checkpoint', default=None,
+                   help='HMR checkpoint (.pt torch or .npz pytree)')
+    p.add_argument('--img', type=str, required=True)
+    p.add_argument('--bbox', type=str, default=None)
+    p.add_argument('--openpose', type=str, default=None)
+    p.add_argument('--outfile', type=str, default=None)
+    p.add_argument('--outdir', type=str, default='out')
+    p.add_argument('--synthetic', action='store_true',
+                   help='synthetic body/weights (no assets required)')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.models.smpl import smpl_forward
+    from tuch_tpu.utils.projection import weak_perspective_to_translation
+
+    runtime = rt.build_runtime(synthetic=args.synthetic or None,
+                               with_segments=False, with_hd=False)
+    variables = runtime.variables
+    if args.checkpoint:
+        from tuch_tpu.train.checkpoint import load_pretrained_params
+        loaded = load_pretrained_params(args.checkpoint)
+        variables = {'params': loaded['params'],
+                     'batch_stats': loaded.get(
+                         'batch_stats', variables['batch_stats'])}
+
+    hmr, smpl = runtime.hmr, runtime.smpl
+
+    @jax.jit
+    def forward(norm_img):
+        rotmat, betas, cam = hmr.apply(variables, norm_img, train=False)
+        out = smpl_forward(smpl, betas, rotmat[:, 1:], rotmat[:, :1],
+                           pose2rot=False)
+        cam_t = weak_perspective_to_translation(
+            cam, constants.FOCAL_LENGTH, constants.IMG_RES)
+        return out.vertices, cam, cam_t
+
+    renderer = Renderer(faces=np.asarray(smpl.faces))
+
+    imgs = sorted(glob.glob(osp.join(args.img, '*'))
+                  if osp.isdir(args.img) else [args.img])
+    ops = sorted(glob.glob(osp.join(args.openpose, '*.json'))
+                 if args.openpose and osp.isdir(args.openpose)
+                 else [args.openpose] * len(imgs))
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for img_path, op_path in zip(imgs, ops):
+        print('processing', img_path, op_path or '')
+        img01, norm = process_image(img_path, args.bbox, op_path)
+        verts, cam, cam_t = forward(jnp.asarray(norm))
+        verts = np.asarray(verts[0])
+        cam_t0 = np.asarray(cam_t[0])
+
+        stem = osp.splitext(osp.basename(img_path))[0] \
+            if args.outfile is None else args.outfile
+        out = osp.join(args.outdir, stem)
+
+        # OBJ exports: front and +-60 deg about y, x-flipped 180 like the
+        # reference (demo_tuch.py:148-163).
+        rot_x = rotation_about([1, 0, 0], 180)
+        save_obj(out + '.obj', verts @ rot_x.T, smpl.faces)
+        for deg, suffix in ((60, '_r60'), (300, '_r300')):
+            rot_y = rotation_about([0, 1, 0], deg)
+            save_obj(out + suffix + '.obj', (verts @ rot_x.T) @ rot_y.T,
+                     smpl.faces)
+
+        save_camera_pkl(out + '_camera.pkl', np.asarray(cam), cam_t0)
+
+        front = renderer.render_over(verts, cam_t0, img01)
+        side = renderer.render_rotated(verts, cam_t0, 90.0,
+                                       image=np.ones_like(img01))
+        save_png(out + '_img_in.png', img01)
+        save_png(out + '.png', np.concatenate([img01, front, side], axis=1))
+        print('saved results to', out)
+
+
+if __name__ == '__main__':
+    main()

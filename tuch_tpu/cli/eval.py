@@ -1,0 +1,89 @@
+"""eval: batched benchmark inference (MPJPE / PA-MPJPE).
+
+Reference-compatible port of /root/reference/eval.py:
+  python -m tuch_tpu.cli.eval --checkpoint ckpt.pt --dataset 3dpw
+With --synthetic it evaluates a random-weight model on a synthetic dataset
+(pipeline smoke test without downloads).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--checkpoint', default=None)
+    p.add_argument('--dataset', default='mpi-inf-3dhp',
+                   choices=['3dpw', 'mpi-inf-3dhp'])
+    p.add_argument('--log_freq', default=50, type=int)
+    p.add_argument('--batch_size', default=32, type=int)
+    p.add_argument('--shuffle', default=False, action='store_true')
+    p.add_argument('--num_workers', default=8, type=int)
+    p.add_argument('--result_file', default=None)
+    p.add_argument('--synthetic', action='store_true')
+    p.add_argument('--synthetic_samples', type=int, default=16)
+    args = p.parse_args(argv)
+
+    from tuch_tpu import config as cfg
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+    from tuch_tpu.eval.evaluate import run_evaluation
+
+    runtime = rt.build_runtime(synthetic=args.synthetic or None,
+                               with_segments=False, with_hd=False)
+    variables = runtime.variables
+    if args.checkpoint:
+        from tuch_tpu.train.checkpoint import load_pretrained_params
+        loaded = load_pretrained_params(args.checkpoint)
+        variables = {'params': loaded['params'],
+                     'batch_stats': loaded.get(
+                         'batch_stats', variables['batch_stats'])}
+
+    if args.synthetic:
+        import tempfile
+        d = tempfile.mkdtemp()
+        db = synthetic_db(args.synthetic_samples, img_dir=d, seed=0,
+                          with_pose_3d=(args.dataset == 'mpi-inf-3dhp'))
+        db['gender'] = np.array(['m', 'f'] * (len(db['imgname']) // 2)
+                                )[:len(db['imgname'])]
+        dataset = TuchDataset(None, args.dataset, data=db, img_dir=d,
+                              use_augmentation=False, split='test')
+        cnc = None
+        j_reg = np.asarray(runtime.smpl.J_regressor)[:17] \
+            if args.dataset == 'mpi-inf-3dhp' else \
+            np.asarray(runtime.smpl.J_regressor)[:14]
+        smpl_m = smpl_f = None
+    else:
+        dataset = TuchDataset(None, args.dataset, split='test',
+                              use_augmentation=False)
+        j_reg = np.load(cfg.JOINT_REGRESSOR_H36M)
+        cnc = None
+        if args.dataset == '3dpw':
+            csigs = np.load(cfg.THREEDPW_CIG)
+            cnc = csigs.min(1).min(1)
+        from tuch_tpu import assets as assets_mod
+        import os
+        smpl_m = smpl_f = None
+        for gender, var in (('MALE', 'smpl_m'), ('FEMALE', 'smpl_f')):
+            path = os.path.join(cfg.SMPL_MODEL_DIR, f'SMPL_{gender}.pkl')
+            if os.path.isfile(path):
+                m = assets_mod.load_smpl_pkl(path)
+                m = m._replace(
+                    J_regressor_extra=runtime.smpl.J_regressor_extra)
+                if gender == 'MALE':
+                    smpl_m = m
+                else:
+                    smpl_f = m
+
+    result = run_evaluation(
+        runtime.hmr, variables, dataset, args.dataset, runtime.smpl,
+        smpl_m, smpl_f, j_reg, batch_size=args.batch_size, cnc_arr=cnc,
+        result_file=args.result_file, log_freq=args.log_freq)
+    print('*** Final Results ***')
+    for k, v in result.items():
+        print(f'  {k}: {v:.3f}' if isinstance(v, float) else f'  {k}: {v}')
+
+
+if __name__ == '__main__':
+    main()

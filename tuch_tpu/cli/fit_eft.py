@@ -1,0 +1,73 @@
+"""fit_eft: per-image exemplar fine-tuning driver.
+
+Reference-compatible port of /root/reference/fit_eft.py:
+  python -m tuch_tpu.cli.fit_eft --name eftrun --ds_names dsc_df \
+      --sidx 0 --cbs 1000
+Cluster sharding (--sidx/--cbs) + offline merge keep the reference
+semantics (tuch/eft/fitter.py:52-55, merge_temp_files.py).
+"""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--name', default='eft')
+    p.add_argument('--ds_names', nargs='+', default=['dsc_df'])
+    p.add_argument('--pretrained_checkpoint', default=None)
+    p.add_argument('--sidx', type=int, default=0)
+    p.add_argument('--cbs', type=int, default=None)
+    p.add_argument('--max_steps', type=int, default=50)
+    p.add_argument('--lr', type=float, default=1e-6)
+    p.add_argument('--kp_loss_weight', type=float, default=10.0)
+    p.add_argument('--shape_prior_weight', type=float, default=1.0)
+    p.add_argument('--contact_loss_weight', type=float, default=1.0)
+    p.add_argument('--img_res', type=int, default=224)
+    p.add_argument('--out_dir', default='out/eft')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--synthetic', action='store_true')
+    p.add_argument('--merge', nargs='*', default=None,
+                   help='merge shard files instead of fitting')
+    args = p.parse_args(argv)
+
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+    from tuch_tpu.fitting.eft import EFTFitter, merge_shards
+
+    runtime = rt.build_runtime(args, synthetic=args.synthetic or None,
+                               img_res=args.img_res)
+    variables = runtime.variables
+    if args.pretrained_checkpoint:
+        from tuch_tpu.train.checkpoint import load_pretrained_params
+        loaded = load_pretrained_params(args.pretrained_checkpoint)
+        variables = {'params': loaded['params'],
+                     'batch_stats': loaded.get(
+                         'batch_stats', variables['batch_stats'])}
+
+    for dsname in args.ds_names:
+        P = len(runtime.contact_classes)
+        if args.synthetic:
+            import tempfile
+            d = tempfile.mkdtemp()
+            db = synthetic_db(4, img_dir=d, seed=args.seed,
+                              num_contact_classes=P)
+            ds = TuchDataset(args, dsname, data=db, img_dir=d,
+                             use_augmentation=False,
+                             num_contact_classes=P)
+        else:
+            ds = TuchDataset(args, dsname, use_augmentation=False,
+                             num_contact_classes=P)
+
+        if args.merge is not None:
+            merge_shards(args.merge, ds.data,
+                         f'{args.out_dir}/{dsname}_eft_train.pt')
+            continue
+
+        fitter = EFTFitter(args, dsname, ds, runtime.hmr, variables,
+                           runtime.smpl, runtime.assets.contact,
+                           out_dir=args.out_dir)
+        fitter.fit()
+
+
+if __name__ == '__main__':
+    main()

@@ -39,12 +39,17 @@ def expand_meta_names(names: List[str], partition: List[float]):
 class MixedDataset:
     def __init__(self, options, split: str = 'train',
                  datasets: Optional[List[TuchDataset]] = None, **kwargs):
-        if split == 'train':
+        if datasets is not None:
+            # Explicit dataset objects (tests / synthetic runs): use their
+            # names, equal shares unless options matches.
+            names = [ds.name for ds in datasets]
+            partition = [1.0 / len(datasets)] * len(datasets)
+        elif split == 'train':
             names = list(options.ds_names)
             partition = list(options.ds_composition)
+            names, partition = expand_meta_names(names, partition)
         else:
             names, partition = ['mtp'], [1.0]
-        names, partition = expand_meta_names(names, partition)
 
         self.dataset_list = names
         self.dataset_dict = {n: i for i, n in enumerate(names)}

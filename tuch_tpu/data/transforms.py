@@ -57,10 +57,19 @@ def crop_image(img: np.ndarray, center, scale, res: Tuple[int, int],
     """Fused affine crop: one inverse-warp bilinear resample.
 
     img: (H, W, C) float or uint8. Returns (res[0], res[1], C) float32.
-    Replaces the reference's crop() (imutils.py:67-106).
+    Replaces the reference's crop() (imutils.py:67-106). Uses the native
+    C++ warp (tuch_tpu/viz/native.cpp) when built, numpy otherwise.
     """
     t = get_transform(center, scale, res, rot)
     t_inv = np.linalg.inv(t)
+
+    try:
+        from tuch_tpu.viz import native
+        if native.get_lib() is not None:
+            return native.affine_warp(np.asarray(img, np.float32), t_inv,
+                                      res[0], res[1])
+    except Exception:
+        pass
 
     ys, xs = np.meshgrid(np.arange(res[0]), np.arange(res[1]),
                          indexing='ij')
