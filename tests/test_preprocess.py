@@ -1,0 +1,110 @@
+"""Tests for the offline preprocessing helpers and conversion utilities."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tuch_tpu import constants
+from tuch_tpu.data.preprocess import dsc, mtp, pw3d
+
+
+def test_mirror_label():
+    assert dsc.mirror_label('leftarm') == 'rightarm'
+    assert dsc.mirror_label('rightknee') == 'leftknee'
+    assert dsc.mirror_label('head') == 'head'
+
+
+def test_contact_vector_and_mirror():
+    classes = np.array(sorted([sorted(p) for p in
+                               [('leftarm', 'rightleg'),
+                                ('head', 'leftarm'),
+                                ('leftleg', 'rightarm')]]))
+    vec, vec_m = dsc.contact_vector(['leftarm_rightleg'], classes)
+    # annotated pair set
+    idx = np.where(np.all(classes == sorted(['leftarm', 'rightleg']),
+                          axis=1))[0]
+    assert vec[idx] == 1 and vec.sum() == 1
+    # mirrored pair set in the flipped vector
+    idx_m = np.where(np.all(classes == sorted(['rightarm', 'leftleg']),
+                            axis=1))[0]
+    assert vec_m[idx_m] == 1 and vec_m.sum() == 1
+
+
+def test_bbox_from_openpose_visibility_gate():
+    kp = np.zeros((25, 3))
+    c, s, ok = dsc.bbox_from_openpose(kp)
+    assert not ok
+    kp[:, :2] = np.random.RandomState(0).uniform(50, 150, (25, 2))
+    kp[:, 2] = 0.9
+    c, s, ok = dsc.bbox_from_openpose(kp)
+    assert ok and s > 0
+    np.testing.assert_allclose(c, kp[:, :2].mean(0), atol=1e-6)
+
+
+def test_match_op_gt_keypoints():
+    rng = np.random.RandomState(0)
+    gt = np.zeros((24, 3))
+    gt[:12, :2] = rng.uniform(0, 200, (12, 2))
+    gt[:12, 2] = 1
+    op = np.zeros((25, 3))
+    op[dsc.OP_TO_12, :2] = gt[:12, :2] + rng.randn(12, 2) * 1.0
+    op[dsc.OP_TO_12, 2] = 0.9
+    assert dsc.match_op_gt_keypoints(op, gt, 'lsp')
+    op_far = op.copy()
+    op_far[dsc.OP_TO_12, :2] += 500
+    assert not dsc.match_op_gt_keypoints(op_far, gt, 'lsp')
+
+
+def test_select_center_person():
+    # confidence 0.5 so the distance term matters (score = dist . (1-conf))
+    mkkp = lambda center: np.concatenate(
+        [np.tile(center, (25, 1)), np.full((25, 1), 0.5)], -1).reshape(-1)
+    people = [{'pose_keypoints_2d': mkkp([10, 10]).tolist()},
+              {'pose_keypoints_2d': mkkp([100, 100]).tolist()}]
+    kp, sel = mtp.select_center_person({'people': people}, (200, 200))
+    assert sel == 1  # center of a 200x200 image is (100, 100)
+
+
+def test_fold_camera_rotation_identity():
+    aa = np.array([0.3, -0.2, 0.5])
+    out = mtp.fold_camera_rotation(aa, np.zeros(3))
+    np.testing.assert_allclose(out, aa, atol=1e-5)
+
+
+def test_pw3d_rotation_roundtrip():
+    rng = np.random.RandomState(0)
+    aa = rng.randn(3) * 0.7
+    R = pw3d._aa_to_R(aa)
+    aa2 = pw3d._R_to_aa(R)
+    np.testing.assert_allclose(aa, aa2, atol=1e-6)
+
+
+def test_coco_to_body25_is_injective():
+    m = constants.COCO_TO_BODY25
+    assert len(m) == 17
+    assert len(set(m)) == 17
+    assert max(m) < 25
+
+
+def test_error_measures():
+    from tuch_tpu.utils.error_measures import mpjae
+    pose = np.zeros((2, 72), np.float32)
+    pose2 = pose.copy()
+    pose2[:, 3] = np.pi / 2  # rotate joint 1 by 90 degrees about x
+    out = np.asarray(mpjae(jnp.asarray(pose), jnp.asarray(pose2)))
+    np.testing.assert_allclose(out, 90.0 / 24, atol=1e-3)
+
+
+def test_smplx_to_smpl_vertex_fit(tiny_smpl):
+    from tuch_tpu.fitting.smplx_to_smpl import fit_smpl_to_vertices
+    model, _ = tiny_smpl
+    rng = np.random.RandomState(0)
+    gt_pose = jnp.asarray(rng.randn(1, 72).astype(np.float32) * 0.1)
+    gt_betas = jnp.asarray(rng.randn(1, 10).astype(np.float32) * 0.3)
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    target = smpl_forward_pose72(model, gt_betas, gt_pose).vertices
+    res = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2)
+    assert float(res.loss[0]) < 1e-3

@@ -1,0 +1,141 @@
+"""Offline extraction of MPI-INF-3DHP train/test sets.
+
+Reference: tuch/datasets/preprocess/mpi_inf_3dhp.py (SPIN-style). Reads the
+annot.mat files, maps the 28-joint skeleton to 17 joints, builds bboxes
+from 2D joints, subsamples every 10th training frame, and (optionally)
+extracts video frames (needs cv2 if requested).
+"""
+
+import glob
+import os
+import os.path as osp
+
+import joblib
+import numpy as np
+
+from tuch_tpu import config
+
+# 24-joint GT convention slots filled by the 17 H36M-style joints.
+JOINTS_IDX = [14, 3, 4, 5, 2, 1, 0, 16, 12, 17, 18, 9, 10, 11, 8, 7, 6]
+TRAIN_J17 = [4, 18, 19, 20, 23, 24, 25, 3, 5, 6, 7, 9, 10, 11, 14, 15, 16]
+TEST_J17 = [14, 11, 12, 13, 8, 9, 10, 15, 1, 16, 0, 5, 6, 7, 2, 3, 4]
+
+
+def extract_frames(seq_path: str, vid_i: int):
+    """Optional video -> jpg extraction (needs cv2)."""
+    import cv2
+    imgs_path = osp.join(seq_path, 'imageFrames', f'video_{vid_i}')
+    os.makedirs(imgs_path, exist_ok=True)
+    vid_file = osp.join(seq_path, 'imageSequence', f'video_{vid_i}.avi')
+    cap = cv2.VideoCapture(vid_file)
+    frame = 0
+    while True:
+        ok, image = cap.read()
+        if not ok:
+            break
+        frame += 1
+        cv2.imwrite(osp.join(imgs_path, f'frame_{frame:06d}.jpg'), image)
+
+
+def train_data(dataset_path, out_path, scale_factor=1.2,
+               extract_img=False, subsample=10):
+    import scipy.io as sio
+    h = w = 2048
+    db = {k: [] for k in ('imgname', 'center', 'scale', 'part', 'S',
+                          'openpose')}
+    counter = 0
+    for user_i in range(1, 9):
+        for seq_i in range(1, 3):
+            seq_path = osp.join(dataset_path, f'S{user_i}', f'Seq{seq_i}')
+            annot = sio.loadmat(osp.join(seq_path, 'annot.mat'))
+            annot2, annot3 = annot['annot2'], annot['annot3']
+            vid_list = list(range(3)) + list(range(4, 9))
+            for vid_i in vid_list:
+                if extract_img:
+                    extract_frames(seq_path, vid_i)
+                imgs_path = osp.join(seq_path, 'imageFrames',
+                                     f'video_{vid_i}')
+                for i, img_i in enumerate(sorted(glob.glob(
+                        osp.join(imgs_path, '*.jpg')))):
+                    joints = np.reshape(annot2[vid_i][0][i],
+                                        (28, 2))[TRAIN_J17]
+                    S17 = np.reshape(annot3[vid_i][0][i], (28, 3)) / 1000
+                    S17 = S17[TRAIN_J17] - S17[4]  # root-center (joint 4)
+                    bbox = [joints[:, 0].min(), joints[:, 1].min(),
+                            joints[:, 0].max(), joints[:, 1].max()]
+                    center = [(bbox[2] + bbox[0]) / 2,
+                              (bbox[3] + bbox[1]) / 2]
+                    scale = scale_factor * max(bbox[2] - bbox[0],
+                                               bbox[3] - bbox[1]) / 200
+                    inside = ((joints[:, 0] >= 0) & (joints[:, 0] < w)
+                              & (joints[:, 1] >= 0) & (joints[:, 1] < h))
+                    if inside.sum() < len(JOINTS_IDX):
+                        continue
+                    counter += 1
+                    if counter % subsample != 1:
+                        continue
+                    part = np.zeros((24, 3))
+                    part[JOINTS_IDX] = np.hstack([joints, np.ones((17, 1))])
+                    S = np.zeros((24, 4))
+                    S[JOINTS_IDX] = np.hstack([S17, np.ones((17, 1))])
+                    db['imgname'].append(osp.join(
+                        f'S{user_i}', f'Seq{seq_i}', 'imageFrames',
+                        f'video_{vid_i}', osp.basename(img_i)))
+                    db['center'].append(center)
+                    db['scale'].append(scale)
+                    db['part'].append(part)
+                    db['S'].append(S)
+                    db['openpose'].append(np.zeros((25, 3)))
+    db['has_smpl'] = np.zeros(len(db['imgname']))
+    out_file = osp.join(out_path, 'mpi_inf_3dhp_train.pt')
+    joblib.dump(db, out_file)
+    print(f'{len(db["imgname"])} 3DHP train samples -> {out_file}')
+    return out_file
+
+
+def test_data(dataset_path, out_path, scale_factor=1.2):
+    import h5py
+    db = {k: [] for k in ('imgname', 'center', 'scale', 'part', 'S')}
+    for user_i in range(1, 7):
+        seq_path = osp.join(dataset_path, 'mpi_inf_3dhp_test_set',
+                            f'TS{user_i}')
+        with h5py.File(osp.join(seq_path, 'annot_data.mat'), 'r') as m:
+            annot2 = np.asarray(m['annot2'])
+            annot3 = np.asarray(m['annot3'])
+            valid = np.asarray(m['valid_frame']).reshape(-1)
+        for frame_i, valid_i in enumerate(valid):
+            if not valid_i:
+                continue
+            joints = annot2[frame_i, 0, TEST_J17, :]
+            S17 = annot3[frame_i, 0, TEST_J17, :] / 1000
+            S17 = S17 - S17[0]
+            bbox = [joints[:, 0].min(), joints[:, 1].min(),
+                    joints[:, 0].max(), joints[:, 1].max()]
+            center = [(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2]
+            scale = scale_factor * max(bbox[2] - bbox[0],
+                                       bbox[3] - bbox[1]) / 200
+            part = np.zeros((24, 3))
+            part[JOINTS_IDX] = np.hstack([joints, np.ones((17, 1))])
+            S = np.zeros((24, 4))
+            S[JOINTS_IDX] = np.hstack([S17, np.ones((17, 1))])
+            db['imgname'].append(osp.join(
+                f'mpi_inf_3dhp_test_set/TS{user_i}/imageSequence',
+                f'img_{frame_i + 1:06d}.jpg'))
+            db['center'].append(center)
+            db['scale'].append(scale)
+            db['part'].append(part)
+            db['S'].append(S)
+    out_file = osp.join(out_path, 'mpi_inf_3dhp_test.pt')
+    joblib.dump(db, out_file)
+    print(f'{len(db["imgname"])} 3DHP test samples -> {out_file}')
+    return out_file
+
+
+def mpi_inf_3dhp_extract(dataset_path=None, out_path=None, mode='train',
+                         extract_img=False):
+    dataset_path = dataset_path or config.IMAGE_FOLDERS['mpi-inf-3dhp']
+    out_path = out_path or config.DBS_PATH
+    os.makedirs(out_path, exist_ok=True)
+    if mode == 'train':
+        return train_data(dataset_path, out_path, extract_img=extract_img)
+    return test_data(dataset_path, out_path)

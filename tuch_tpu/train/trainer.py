@@ -145,9 +145,21 @@ class Trainer:
             if self.loader_state.epoch == epoch else 0
         state_iter = LoaderState(epoch=epoch, batch_idx=start,
                                  perm_seed=self.options.seed)
+        # Profiling hook (SURVEY.md section 5: the reference has none):
+        # TUCH_PROFILE_STEPS=lo:hi captures a jax.profiler trace of those
+        # steps into <summary_dir>/profile.
+        prof_range = os.environ.get('TUCH_PROFILE_STEPS')
+        prof_lo, prof_hi = (-1, -1)
+        if prof_range:
+            prof_lo, prof_hi = (int(x) for x in prof_range.split(':'))
         t_last = time.time()
         for bi, batch in enumerate(self.loader.epoch_iter(state_iter),
                                    start=start):
+            if bi == prof_lo:
+                jax.profiler.start_trace(
+                    os.path.join(self.options.summary_dir, 'profile'))
+            if bi == prof_hi:
+                jax.profiler.stop_trace()
             batch = add_fits_indices(batch, self.offsets_table)
             self.state, metrics, outputs = self.step_fn(self.state, batch)
             step = int(np.asarray(self.state.step))
