@@ -71,56 +71,97 @@ def build_problem(B, num_verts, num_iters):
     return problem
 
 
-def ours_iters_per_sec(problem):
-    """Batched streamed body-stage: one lax.scan over Adam iterations."""
+def ours_iters_per_sec(problem, refresh_every: int = 1):
+    """Batched streamed body-stage via the real SMPLify-DC stage-2 scan."""
     import jax
     import jax.numpy as jnp
-    import optax
-    from tuch_tpu.losses import smplify as L
-    from tuch_tpu.models.smpl import smpl_forward
+    from tuch_tpu.fitting import smplify_dc as S
 
     model, prior, ca = problem['model'], problem['prior'], problem['ca']
     B, iters = problem['B'], problem['num_iters']
-    kp = jnp.asarray(problem['kp'])
-    cam_t = jnp.asarray(problem['cam_t'])
-    cc = jnp.asarray(problem['cc'])
-    gt_contact = jnp.asarray(problem['gt_contact'])
-    joints_2d, conf = kp[..., :2], kp[..., 2]
-    betas = jnp.zeros((B, 10))
-    ign = jnp.zeros(B, bool)
-    hasdc = jnp.ones(B, bool)
+    cfg = S.SMPLifyConfig(num_iters=iters, use_contact=True,
+                          euclthres=0.02, contact_loss_weight=2000.0,
+                          exterior_refresh_every=refresh_every)
 
-    def loss_fn(p):
-        out = smpl_forward(model, betas, p['body_pose'], p['global_orient'])
-        return L.contact_fitting_loss(
-            p['body_pose'], p['global_orient'], betas, out.joints,
-            out.vertices, cam_t, cc, joints_2d, conf, prior, ca,
-            gt_contact, ign, hasdc, euclthres=0.02,
-            contact_loss_weight=2000.0)
+    # camera stage excluded from timing: run stage 2 only by setting the
+    # camera-stage iterations via a one-iter config is not exposed, so we
+    # time the full fit and subtract a one-iter run to isolate marginal
+    # per-iteration cost of the body stage.
+    def make_fit(n_iters):
+        c = cfg._replace(num_iters=n_iters)
+        return jax.jit(lambda *a: S.smplify_dc(model, prior, ca, *a,
+                                               config=c))
 
-    opt = optax.adam(1e-2)
+    args = (jnp.asarray(problem['init_pose']), jnp.zeros((B, 10)),
+            jnp.asarray(problem['cam_t']), jnp.asarray(problem['cc']),
+            jnp.asarray(problem['kp']), jnp.asarray(problem['gt_contact']),
+            jnp.zeros(B, bool), jnp.ones(B, bool), jnp.zeros(B, bool))
+
+    fit_n = make_fit(iters)
+    fit_1 = make_fit(1)
+    jax.block_until_ready(fit_n(*args))
+    jax.block_until_ready(fit_1(*args))
+    t0 = time.time()
+    jax.block_until_ready(fit_n(*args))
+    t_n = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(fit_1(*args))
+    t_1 = time.time() - t0
+    # marginal cost of (iters - 1) extra camera+body iterations; the body
+    # stage dominates, so report combined adam iterations/sec.
+    return (iters - 1) / max(t_n - t_1, 1e-9)
+
+
+def hmr_inference_imgs_per_sec(batch=64, dtype='float32'):
+    """TUCH inference throughput (BASELINE.md: imgs/sec/chip)."""
+    import jax
+    import jax.numpy as jnp
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.models.smpl import smpl_forward
+
+    runtime = rt.build_runtime(synthetic=True, img_res=224,
+                               with_segments=False, with_hd=False)
+    hmr = runtime.hmr
+    if dtype == 'bfloat16':
+        from tuch_tpu.models import hmr as hmr_mod
+        hmr = hmr_mod.create_hmr(
+            runtime.extras.mean_pose6d, runtime.extras.mean_shape,
+            runtime.extras.mean_cam, dtype=jnp.bfloat16)
+    variables = runtime.variables
+    smpl = runtime.smpl
 
     @jax.jit
-    def run(params):
-        state = opt.init(params)
+    def fwd(imgs):
+        rotmat, betas, cam = hmr.apply(variables, imgs, train=False)
+        out = smpl_forward(smpl, betas, rotmat[:, 1:], rotmat[:, :1],
+                           pose2rot=False)
+        return out.vertices
 
-        def step(carry, _):
-            p, s = carry
-            g = jax.grad(loss_fn)(p)
-            u, s = opt.update(g, s)
-            return (optax.apply_updates(p, u), s), None
-
-        (params, _), _ = jax.lax.scan(step, (params, state), None,
-                                      length=iters)
-        return params
-
-    params = {'body_pose': jnp.asarray(problem['init_pose'][:, 3:]),
-              'global_orient': jnp.asarray(problem['init_pose'][:, :3])}
-    jax.block_until_ready(run(params))  # compile
+    x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    jax.block_until_ready(fwd(x))
     t0 = time.time()
-    jax.block_until_ready(run(params))
+    reps = 5
+    for _ in range(reps):
+        jax.block_until_ready(fwd(x))
+    return batch * reps / (time.time() - t0)
+
+
+def winding_gpairs_per_sec(B=64):
+    """Contact-kernel throughput (BASELINE.md: contact-loss GFLOP/s)."""
+    import jax
+    import jax.numpy as jnp
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.ops import contact_pallas as cpk
+    if not cpk.pallas_available():
+        return None
+    model, _ = assets_mod.synthetic_smpl()
+    v = jnp.asarray(np.asarray(model.v_template)[None].repeat(B, 0))
+    f = jnp.asarray(model.faces)
+    jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
+    t0 = time.time()
+    jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
     dt = time.time() - t0
-    return iters / dt
+    return B * v.shape[1] * f.shape[0] / dt / 1e9
 
 
 def baseline_iters_per_sec(problem, max_samples=None):
@@ -218,6 +259,7 @@ def main():
 
     problem = build_problem(B, nv, iters)
     ours = ours_iters_per_sec(problem)
+    fast = ours_iters_per_sec(problem, refresh_every=4)
 
     if args.skip_baseline:
         baseline = None
@@ -227,18 +269,30 @@ def main():
             problem, max_samples=2 if args.quick else 8)
         vs = ours / baseline
 
+    extra = {
+        'baseline_same_hw_iters_per_sec':
+            None if baseline is None else round(baseline, 4),
+        'fast_mode_refresh4_iters_per_sec': round(fast, 4),
+        'batch': B, 'num_verts': nv,
+        'note': 'baseline = reference-structured per-sample dense '
+                'algorithm on the same chip',
+    }
+    if not args.quick:
+        extra['hmr_smpl_inference_imgs_per_sec_fp32'] = round(
+            hmr_inference_imgs_per_sec(dtype='float32'), 2)
+        extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(
+            hmr_inference_imgs_per_sec(dtype='bfloat16'), 2)
+        gp = winding_gpairs_per_sec()
+        if gp is not None:
+            extra['winding_gpairs_per_sec'] = round(gp, 2)
+            extra['winding_gflops_per_sec'] = round(gp * 75, 1)
+
     result = {
         'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
         'value': round(ours, 4),
         'unit': 'iters/s',
         'vs_baseline': round(vs, 2),
-        'extra': {
-            'baseline_same_hw_iters_per_sec':
-                None if baseline is None else round(baseline, 4),
-            'batch': B, 'num_verts': nv,
-            'note': 'baseline = reference-structured per-sample dense '
-                    'algorithm on the same chip',
-        },
+        'extra': extra,
     }
     print(json.dumps(result))
 

@@ -38,6 +38,12 @@ class SMPLifyConfig(NamedTuple):
     use_contact: bool = True
     contact_loss_weight: float = 1.0
     collect_trajectory: bool = False
+    # Refresh the winding in/out test + nearest-neighbor cache every K
+    # Adam iterations. 1 == reference semantics (recompute each step,
+    # tuch/smplify/losses.py:79-93); higher K trades exactness of the
+    # (stop-gradient) neighbor sets for speed -- the winding test
+    # dominates the iteration cost and drifts slowly under 1e-2 steps.
+    exterior_refresh_every: int = 1
 
 
 class SMPLifyResult(NamedTuple):
@@ -123,7 +129,9 @@ def smplify_dc(model: SMPLModel,
             return out.vertices
 
     if config.use_contact:
-        def body_loss(p):
+        K = max(1, config.exterior_refresh_every)
+
+        def body_loss(p, neighbors):
             out = smpl_forward(model, betas1, p['body_pose'],
                                p['global_orient'])
             return L.contact_fitting_loss(
@@ -132,13 +140,36 @@ def smplify_dc(model: SMPLModel,
                 prior, assets, gt_contact, ignore_idxs,
                 has_discrete_contact, config.euclthres,
                 focal_length=config.focal_length,
-                contact_loss_weight=config.contact_loss_weight)
+                contact_loss_weight=config.contact_loss_weight,
+                cached_neighbors=neighbors)
 
+        def compute_neighbors(p):
+            out = smpl_forward(model, betas1, p['body_pose'],
+                               p['global_orient'])
+            return L.contact_neighbors(out.vertices, assets)
+
+        opt = optax.adam(config.step_size, b1=0.9, b2=0.999)
         body_params = {'body_pose': body_pose0,
                        'global_orient': global_orient1}
-        body_params, traj = _run_adam(body_loss, body_params,
-                                      config.num_iters, config.step_size,
-                                      collect=collect)
+        opt_state = opt.init(body_params)
+        neighbors0 = compute_neighbors(body_params)
+
+        def step(carry, it):
+            p, s, neighbors = carry
+            if K > 1:
+                neighbors = jax.lax.cond(
+                    it % K == 0, compute_neighbors, lambda _: neighbors, p)
+            else:
+                neighbors = compute_neighbors(p)
+            grads = jax.grad(lambda q: body_loss(q, neighbors))(p)
+            updates, s = opt.update(grads, s)
+            p = optax.apply_updates(p, updates)
+            ys = collect(p) if collect is not None else None
+            return (p, s, neighbors), ys
+
+        (body_params, _, _), traj = jax.lax.scan(
+            step, (body_params, opt_state, neighbors0),
+            jnp.arange(config.num_iters))
         betas2 = betas1
     else:
         def body_loss(p):

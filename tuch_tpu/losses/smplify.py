@@ -111,6 +111,21 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     On TPU backends the quadratic pieces run as fused Pallas kernels
     (tuch_tpu/ops/contact_pallas.py); elsewhere the streamed jnp versions.
     """
+    exterior, argmin = contact_neighbors(verts, assets, block_f=block_f)
+    v2v_min = contact_distances(verts, argmin)
+    in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
+    return exterior, v2v_min, in_contact
+
+
+def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
+                      block_f: int = 2048):
+    """The stop-gradient half: winding in/out flags + masked argmin.
+
+    Separated from contact_distances so in-the-loop fitters can refresh
+    these every K iterations (SMPLifyConfig.exterior_refresh_every) -- the
+    winding test dominates the iteration cost and changes slowly under
+    small Adam steps.
+    """
     from tuch_tpu.ops import contact_pallas as cpk
 
     vd = jax.lax.stop_gradient(verts)
@@ -126,10 +141,14 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     if assets.segment_tables is not None:
         exterior = forgive_segment_interiors(assets.segment_tables, vd,
                                              exterior)
+    return exterior, argmin
+
+
+def contact_distances(verts: jnp.ndarray, argmin: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """The differentiable half: distance to the cached nearest vertex."""
     nearest = jnp.take_along_axis(verts, argmin[..., None], axis=1)
-    v2v_min = jnp.linalg.norm(verts - nearest, axis=-1)
-    in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
-    return exterior, v2v_min, in_contact
+    return jnp.linalg.norm(verts - nearest, axis=-1)
 
 
 def push_pull_terms(exterior, v2v_min, in_contact):
@@ -156,7 +175,8 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
                          euclthres: float,
                          focal_length=5000.0, sigma=100.0,
                          pose_prior_weight=1.0,
-                         contact_loss_weight=1000.0):
+                         contact_loss_weight=1000.0,
+                         cached_neighbors=None):
     """Stage-2 loss with self-contact, scalar.
 
     Fully-batched equivalent of tuch/smplify/losses.py:34-123:
@@ -171,8 +191,12 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
                                sigma).sum(axis=-1)
     pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
 
-    exterior, v2v_min, in_contact = self_contact_terms(
-        verts, assets, euclthres)
+    if cached_neighbors is None:
+        exterior, argmin = contact_neighbors(verts, assets)
+    else:
+        exterior, argmin = cached_neighbors
+    v2v_min = contact_distances(verts, argmin)
+    in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
     contact_b = push_pull_terms(exterior, v2v_min, in_contact)
 
     # Region-to-region term for discretely annotated contact pairs: the sum
