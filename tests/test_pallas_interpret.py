@@ -1,0 +1,60 @@
+"""Pallas kernel tests in interpreter mode (run on CPU in CI; the compiled
+path is exercised on real TPU hardware by bench.py and the loss stack)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tuch_tpu.ops import contact, contact_pallas as cpk
+
+from tests.test_contact import unit_cube
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_winding_kernel_interpret_matches_jnp():
+    v, f = unit_cube()
+    B = 2
+    verts = jnp.asarray(np.tile(v[None], (B, 1, 1)))
+    pts = jnp.asarray(np.array(
+        [[[0, 0, 0], [2, 0, 0], [0.2, 0.1, -0.3], [0, 1.2, 0],
+          [0.49, 0.49, 0.49], [-0.7, 0, 0]]], np.float32).repeat(B, 0))
+    wn_k = cpk.winding_numbers_pallas(pts, verts, jnp.asarray(f),
+                                      tq=128, tf=256, interpret=True)
+    wn_j = contact.winding_numbers_same_tris(pts, verts, jnp.asarray(f),
+                                             block_f=8)
+    np.testing.assert_allclose(np.asarray(wn_k), np.asarray(wn_j),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wn_k)[0, :2], [1.0, 0.0],
+                               atol=1e-4)
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_masked_min_kernel_interpret_matches_bruteforce(rng):
+    B, V = 2, 192
+    verts = rng.randn(B, V, 3).astype(np.float32)
+    geo = rng.rand(V, V) > 0.3
+    np.fill_diagonal(geo, False)
+    d2, arg = cpk.masked_min_dist_pallas(
+        jnp.asarray(verts), jnp.asarray(geo.astype(np.uint8)),
+        tn=128, tm=128, interpret=True)
+    d2, arg = np.asarray(d2), np.asarray(arg)
+    full = ((verts[:, :, None] - verts[:, None]) ** 2).sum(-1)
+    full[:, ~geo] = np.inf
+    np.testing.assert_allclose(d2, full.min(2), atol=1e-5)
+    got = np.take_along_axis(full, arg[..., None], 2)[..., 0]
+    np.testing.assert_allclose(got, full.min(2), atol=1e-5)
+
+
+def test_atan2_polynomial_accuracy(rng):
+    y = rng.randn(1000).astype(np.float32) * 3
+    x = rng.randn(1000).astype(np.float32) * 3
+    approx = np.asarray(cpk._atan2(jnp.asarray(y), jnp.asarray(x)))
+    exact = np.arctan2(y, x)
+    np.testing.assert_allclose(approx, exact, atol=3e-6)
+    # axis cases
+    cases_y = np.array([0.0, 0.0, 1.0, -1.0, 0.0], np.float32)
+    cases_x = np.array([1.0, -1.0, 0.0, 0.0, 0.0], np.float32)
+    out = np.asarray(cpk._atan2(jnp.asarray(cases_y), jnp.asarray(cases_x)))
+    np.testing.assert_allclose(out[:4],
+                               np.arctan2(cases_y, cases_x)[:4], atol=1e-6)

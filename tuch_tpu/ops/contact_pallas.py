@@ -120,10 +120,11 @@ def _winding_kernel(pts_ref, tri_ref, out_ref):
         out_ref[...] = out_ref[...] + partial
 
 
-@functools.partial(jax.jit, static_argnames=('tq', 'tf'))
+@functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
 def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
                            faces: jnp.ndarray, tq: int = 512,
-                           tf: int = 2048) -> jnp.ndarray:
+                           tf: int = 2048,
+                           interpret: bool = False) -> jnp.ndarray:
     """Generalized winding numbers on TPU via the tiled VMEM kernel.
 
     points: (B, Q, 3); verts: (B, V, 3); faces: (F, 3) int32. -> (B, Q).
@@ -164,6 +165,7 @@ def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
             flops=75 * B * Qp * Fp,
             bytes_accessed=4 * B * (3 * Qp + 9 * Fp + Qp),
             transcendentals=4 * B * Qp * Fp),
+        interpret=interpret,
     )(pts, tris)
     return out[:, 0, :Q] * INV_4PI
 
@@ -212,9 +214,10 @@ def _masked_min_kernel(x_ref, y_ref, mask_ref, best_ref, arg_ref):
         arg_ref[...] = jnp.where(upd, blk_arg[None, None, :], prev_arg)
 
 
-@functools.partial(jax.jit, static_argnames=('tn', 'tm'))
+@functools.partial(jax.jit, static_argnames=('tn', 'tm', 'interpret'))
 def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
-                           tn: int = 1024, tm: int = 1024):
+                           tn: int = 1024, tm: int = 1024,
+                           interpret: bool = False):
     """Geodesic-masked nearest-vertex distances without the (V, V) matrix.
 
     verts: (B, V, 3); geomask_u8: (V, V) uint8 (1 = allowed).
@@ -256,6 +259,7 @@ def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
             flops=8 * B * Vp * Vp,
             bytes_accessed=B * Vp * Vp + 4 * B * Vp * 3 * 2,
             transcendentals=0),
+        interpret=interpret,
     )(coords, coords, mask)
     arg = jnp.minimum(arg[:, 0], V - 1)
     return best[:, 0, :V], arg[:, :V]
