@@ -53,3 +53,15 @@ def test_shard_params_tp_specs(mesh8):
     assert sh['fc2']['kernel'].spec == P('cp', None)
     assert sh['fc1']['bias'].spec == P()
     assert sh['conv']['kernel'].spec == P()
+
+
+def test_process_shard_single_host():
+    from tuch_tpu.parallel.multihost import process_shard
+    lo, hi = process_shard(100)
+    assert (lo, hi) == (0, 100)
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    from tuch_tpu.parallel.multihost import maybe_initialize_distributed
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    assert maybe_initialize_distributed() is False

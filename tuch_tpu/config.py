@@ -124,6 +124,9 @@ class TrainConfig:
     num_smplify_iters: int = 10
     use_contact_in_the_loop: bool = True
     contact_in_the_loop_loss_weight: float = 2000.0
+    # refresh the in-loop winding test every K smplify iterations
+    # (1 = reference semantics; >1 trades neighbor staleness for speed)
+    smplify_exterior_refresh: int = 1
 
     # TPU-native additions
     synthetic: bool = False          # run on synthetic assets/data

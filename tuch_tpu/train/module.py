@@ -87,7 +87,9 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         use_contact=use_contact_itl,
         focal_length=focal_length,
         euclthres=0.0,
-        contact_loss_weight=options.contact_in_the_loop_loss_weight)
+        contact_loss_weight=options.contact_in_the_loop_loss_weight,
+        exterior_refresh_every=getattr(options,
+                                       'smplify_exterior_refresh', 1))
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         B = batch['img'].shape[0]
