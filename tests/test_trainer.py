@@ -1,0 +1,52 @@
+"""Trainer engine test: short synthetic run with checkpoint + resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tuch_tpu import config as cfgmod
+from tuch_tpu import runtime as rt
+from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+from tuch_tpu.data.mixed import MixedDataset
+from tuch_tpu.train.trainer import Trainer, freq_to_step
+
+
+def test_freq_to_step():
+    assert freq_to_step(0.5, 100) == 50
+    assert freq_to_step(1.0, 100) == 100
+    assert freq_to_step(0.0, 100) == 101  # never fires
+
+
+@pytest.mark.slow
+def test_trainer_fit_checkpoint_resume(tmp_path):
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+    opts = cfgmod.TrainConfig(
+        name='t', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=1, lr=1e-4,
+        run_smplify=False, contact_loss_weight=0.0,
+        val_and_checkpoint_freq=0.5, summary_freq=0.0, synthetic=True)
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    val = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir,
+                      use_augmentation=False, split='val')
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, val)
+    tr.fit()
+    steps = int(np.asarray(tr.state.step))
+    assert steps == 4
+    assert len(tr.ckpt.list_checkpoints()) >= 1
+    metrics_file = os.path.join(opts.summary_dir, 'metrics.jsonl')
+    assert sum(1 for _ in open(metrics_file)) >= steps
+
+    # resume continues from the same step count
+    opts2 = cfgmod.TrainConfig(**{**opts.__dict__, 'resume': True})
+    opts2.finalize()
+    tr2 = Trainer(opts2, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, val)
+    assert int(np.asarray(tr2.state.step)) == steps

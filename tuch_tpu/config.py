@@ -139,9 +139,13 @@ class TrainConfig:
     # Derived (filled by finalize()):
     summary_dir: str = ''
     checkpoint_dir: str = ''
+    _finalized: bool = False
 
     def finalize(self):
-        self.log_dir = os.path.join(os.path.abspath(self.log_dir), self.name)
+        if not self._finalized:
+            self.log_dir = os.path.join(os.path.abspath(self.log_dir),
+                                        self.name)
+        self._finalized = True
         self.summary_dir = os.path.join(self.log_dir, 'tensorboard')
         self.checkpoint_dir = os.path.join(self.log_dir, 'checkpoints')
         os.makedirs(self.summary_dir, exist_ok=True)
