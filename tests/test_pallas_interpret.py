@@ -58,3 +58,25 @@ def test_atan2_polynomial_accuracy(rng):
     out = np.asarray(cpk._atan2(jnp.asarray(cases_y), jnp.asarray(cases_x)))
     np.testing.assert_allclose(out[:4],
                                np.arctan2(cases_y, cases_x)[:4], atol=1e-6)
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_winding_hier_interpret_decisions(tiny_smpl):
+    """Experimental hierarchical winding: in/out decisions must match the
+    exact path on a posed body (values are approximate by design)."""
+    from tuch_tpu.ops import winding_hier as wh
+    model, _ = tiny_smpl
+    v0 = np.asarray(model.v_template)
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(v0[None] * np.array([1.0, 0.6, 1.0],
+                                            np.float32)
+                        + 0.02 * rng.randn(2, *v0.shape).astype(np.float32))
+    clusters = wh.build_winding_clusters(v0, np.asarray(model.faces),
+                                         cluster_size=128, tile_q=128)
+    wn_h = wh.winding_numbers_hier(verts, clusters, num_near=4,
+                                   interpret=True)
+    wn_e = contact.winding_numbers_same_tris(
+        verts, verts, jnp.asarray(model.faces), block_f=64)
+    flips = np.mean((np.asarray(wn_h) <= 0.99)
+                    != (np.asarray(wn_e) <= 0.99))
+    assert flips < 0.02

@@ -157,7 +157,8 @@ class TrainConfig:
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
     for f in dataclasses.fields(cls):
-        if f.name in ('summary_dir', 'checkpoint_dir'):
+        if f.name in ('summary_dir', 'checkpoint_dir') \
+                or f.name.startswith('_'):
             continue
         default = f.default if f.default is not dataclasses.MISSING else (
             f.default_factory() if f.default_factory is not dataclasses.MISSING
