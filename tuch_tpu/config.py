@@ -129,6 +129,7 @@ class TrainConfig:
     smplify_exterior_refresh: int = 1
 
     # TPU-native additions
+    grad_clip: float = 0.0           # global-norm gradient clip (0 = off)
     synthetic: bool = False          # run on synthetic assets/data
     use_hd: bool = True              # dense-surface contact in regressor loss
     mesh_dp: int = 0                 # data-parallel devices (0 = all)

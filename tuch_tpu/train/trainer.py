@@ -80,7 +80,12 @@ class Trainer:
         self.ckpt = CheckpointManager(options.checkpoint_dir)
         self.endtime = time.time() + options.time_to_run
 
-        self.optimizer = optax.adam(options.lr)
+        if getattr(options, 'grad_clip', 0.0) > 0:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(options.grad_clip),
+                optax.adam(options.lr))
+        else:
+            self.optimizer = optax.adam(options.lr)
         sizes = train_ds.dataset_sizes()
         store = fits_store.create_fits_store(
             sizes, static_fits_dir=None,
@@ -259,13 +264,18 @@ class Trainer:
         return np.clip(img * std + mean, 0, 1)
 
     def _image_summaries(self, batch, outputs, step: int):
-        """Pred vs opt overlays (reference trainer.py:269-315)."""
+        """Pred vs opt overlays with contact-region coloring
+        (reference trainer.py:269-315)."""
         img = self._denorm(batch['img'][0])
         pv = np.asarray(outputs['pred_vertices'][0])
         ov = np.asarray(outputs['opt_vertices'][0])
         pc = np.asarray(outputs['pred_cam_t'][0])
         oc = np.asarray(outputs['opt_cam_t'][0])
+        cv = np.asarray(outputs['gt_contact_l3'][0]) \
+            if bool(np.asarray(outputs['has_contact'][0])) else None
         self.logger.image('train/pred_shape',
-                          self.renderer.render_over(pv, pc, img), step)
+                          self.renderer.render_over(pv, pc, img,
+                                                    contact_vec=cv), step)
         self.logger.image('train/opt_shape',
-                          self.renderer.render_over(ov, oc, img), step)
+                          self.renderer.render_over(ov, oc, img,
+                                                    contact_vec=cv), step)
