@@ -122,15 +122,17 @@ def _rasterize_numpy(verts, faces, colors, H, W, f, cx, cy, ambient,
 
 def affine_warp(img: np.ndarray, inv_t: np.ndarray, out_h: int,
                 out_w: int) -> np.ndarray:
-    """Native bilinear affine warp; numpy fallback in data/transforms.py."""
+    """Native bilinear affine warp.
+
+    Callers (data/transforms.crop_image) check get_lib() first and fall
+    back to the numpy warp themselves when the library is unavailable.
+    """
     lib = get_lib()
+    if lib is None:
+        raise RuntimeError('native warp unavailable')
     img = np.ascontiguousarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
-    if lib is None:
-        from tuch_tpu.data import transforms as T
-        # transforms.crop_image expects a forward transform; go direct:
-        raise RuntimeError('native warp unavailable')
     out = np.zeros((out_h, out_w, img.shape[2]), np.float32)
     lib.affine_warp_f32(img, img.shape[0], img.shape[1], img.shape[2],
                         np.ascontiguousarray(inv_t, np.float32).reshape(9),
