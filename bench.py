@@ -151,15 +151,13 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32'):
     return batch * reps / (time.time() - t0)
 
 
-def winding_gpairs_per_sec(B=64):
+def winding_gpairs_per_sec(model, B=64):
     """Contact-kernel throughput (BASELINE.md: contact-loss GFLOP/s)."""
     import jax
     import jax.numpy as jnp
-    from tuch_tpu import assets as assets_mod
     from tuch_tpu.ops import contact_pallas as cpk
     if not cpk.pallas_available():
         return None
-    model, _ = assets_mod.synthetic_smpl()
     v = jnp.asarray(np.asarray(model.v_template)[None].repeat(B, 0))
     f = jnp.asarray(model.faces)
     jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
@@ -271,7 +269,7 @@ def main():
         vs = ours / 0.04  # documented CUDA-reference estimate; see header
     else:
         baseline = baseline_iters_per_sec(
-            problem, max_samples=2 if args.quick else 8)
+            problem, max_samples=2 if args.quick else 4)
         vs = ours / baseline
 
     extra = {
@@ -287,7 +285,7 @@ def main():
             hmr_inference_imgs_per_sec(dtype='float32'), 2)
         extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(
             hmr_inference_imgs_per_sec(dtype='bfloat16'), 2)
-        gp = winding_gpairs_per_sec()
+        gp = winding_gpairs_per_sec(problem['model'])
         if gp is not None:
             extra['winding_gpairs_per_sec'] = round(gp, 2)
             extra['winding_gflops_per_sec'] = round(gp * 75, 1)
