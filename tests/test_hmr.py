@@ -85,3 +85,18 @@ def test_hmr_jit_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_hmr_bfloat16_compute():
+    """bf16 backbone path produces finite, fp32-typed outputs."""
+    import jax.numpy as jnp
+    from tuch_tpu import assets
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    model = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                         extras.mean_cam, dtype=jnp.bfloat16)
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    rotmat, betas, cam = model.apply(variables, jnp.ones((2, 64, 64, 3)),
+                                     train=False)
+    assert rotmat.dtype == jnp.float32  # head runs fp32
+    assert np.isfinite(np.asarray(rotmat)).all()
+    assert np.isfinite(np.asarray(cam)).all()

@@ -77,15 +77,23 @@ def segment_exterior_per_segment(tables: SegmentTables,
     True where the segment vertex is exterior *of its own closed segment
     mesh* (reference: segmentation.py:81-99).
     """
+    from tuch_tpu.ops import contact_pallas as cpk
+
+    use_pallas = cpk.pallas_available()
     out = []
     for vidx, bands, faces in zip(tables.vidx, tables.band_verts,
                                   tables.faces):
         extra = [jnp.mean(vertices[:, jnp.asarray(ring), :], axis=1,
                           keepdims=True) for ring in bands]
         verts_ext = jnp.concatenate([vertices] + extra, axis=1)
-        tris = verts_ext[:, jnp.asarray(faces), :]  # (B, Fs, 3, 3)
         pts = vertices[:, jnp.asarray(vidx), :]     # (B, Ns, 3)
-        wn = winding_numbers(pts, tris, block_f=min(1024, faces.shape[0]))
+        if use_pallas:
+            wn = cpk.winding_numbers_pallas(pts, verts_ext,
+                                            jnp.asarray(faces))
+        else:
+            tris = verts_ext[:, jnp.asarray(faces), :]  # (B, Fs, 3, 3)
+            wn = winding_numbers(pts, tris,
+                                 block_f=min(1024, faces.shape[0]))
         out.append(wn <= 0.99)
     return out
 
