@@ -11,8 +11,15 @@ import os
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if 'xla_cpu_collective' not in flags:
+    # 8 virtual devices time-share one core; cold-compile runs can take
+    # minutes to bring every rank to a rendezvous -- keep the CPU
+    # collectives watchdog from SIGABRTing the suite.
+    flags += (' --xla_cpu_collective_timeout_seconds=1800'
+              ' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=1800')
+os.environ['XLA_FLAGS'] = flags
 
 import numpy as np
 import pytest
