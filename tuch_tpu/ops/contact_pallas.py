@@ -129,8 +129,24 @@ def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
 
     points: (B, Q, 3); verts: (B, V, 3); faces: (F, 3) int32. -> (B, Q).
     """
+    tris = verts[:, faces, :]                      # (B, F, 3, 3)
+    return winding_numbers_pallas_tris(points, tris, tq=tq, tf=tf,
+                                       interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
+def winding_numbers_pallas_tris(points: jnp.ndarray, tris: jnp.ndarray,
+                                tq: int = 512, tf: int = 2048,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Winding numbers from per-batch explicit triangles.
+
+    points: (B, Q, 3); tris: (B, F, 3, 3). -> (B, Q). Used when each batch
+    row has its *own* triangle set (e.g. all body segments of all samples
+    flattened into one launch, ops/segments.py); padding triangles whose
+    corners sit at the _FAR point contribute exactly zero solid angle.
+    """
     B, Q, _ = points.shape
-    F = faces.shape[0]
+    F = tris.shape[1]
     qpad = (-Q) % tq
     fpad = (-F) % tf
 
@@ -138,7 +154,6 @@ def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
     pts = jnp.swapaxes(points, 1, 2)
     if qpad:
         pts = jnp.pad(pts, ((0, 0), (0, 0), (0, qpad)))
-    tris = verts[:, faces, :]                      # (B, F, 3, 3)
     tris = tris.reshape(B, F, 9).swapaxes(1, 2)    # (B, 9, F)
     if fpad:
         tris = jnp.pad(tris, ((0, 0), (0, 0), (0, fpad)),

@@ -25,12 +25,26 @@ from tuch_tpu.ops.contact import winding_numbers
 
 
 class SegmentTables(NamedTuple):
-    """Static per-segment data, padded to fixed shapes."""
+    """Static per-segment data, padded to fixed shapes.
+
+    The `fused_*` arrays pack all S segments into one rectangular problem
+    so the runtime test is a SINGLE kernel launch (grid batch axis B*S)
+    instead of S launches: vertex ids padded to Ns_max, faces padded to
+    Fs_max and remapped into one extended vertex list
+    [body verts | all band centroids | one far vertex]; padding faces point
+    at the far vertex (zero solid angle), padding points are masked out.
+    """
     names: tuple                 # segment names
     vidx: tuple                  # per segment: (Ns,) vertex ids (np)
     band_verts: tuple            # per segment: list of (ring_len,) np arrays
     faces: tuple                 # per segment: (Fs, 3) np int faces into the
                                  # [V + appended band centroids] vertex list
+    fused_vidx: np.ndarray       # (S, Ns_max) int32 (pad: 0)
+    fused_vmask: np.ndarray      # (S, Ns_max) bool
+    fused_faces: np.ndarray      # (S, Fs_max, 3) int32 into extended verts
+    ring_idx: np.ndarray         # (C, L_max) int32 band-ring vertex ids
+    ring_w: np.ndarray           # (C, L_max) f32 mean weights (0 on padding)
+    num_verts: int               # V (static)
 
 
 def build_segment_tables(segments: Dict[str, dict], faces: np.ndarray,
@@ -65,8 +79,42 @@ def build_segment_tables(segments: Dict[str, dict], faces: np.ndarray,
         bands.append([np.asarray(r, dtype=np.int64)
                       for r in seg['bands_verts']])
         segfaces.append(all_faces)
+
+    # ---- fused rectangular layout (one launch for all segments) ----------
+    S = len(names)
+    rings_flat = [r for seg_bands in bands for r in seg_bands]
+    C = len(rings_flat)
+    L_max = max((len(r) for r in rings_flat), default=1)
+    ring_idx = np.zeros((C, L_max), np.int32)
+    ring_w = np.zeros((C, L_max), np.float32)
+    for ci, r in enumerate(rings_flat):
+        ring_idx[ci, :len(r)] = r
+        ring_w[ci, :len(r)] = 1.0 / len(r)
+
+    far_idx = num_verts + C
+    Ns_max = max((len(v) for v in vidxs), default=1)
+    Fs_max = max((f.shape[0] for f in segfaces), default=1)
+    fused_vidx = np.zeros((S, Ns_max), np.int32)
+    fused_vmask = np.zeros((S, Ns_max), bool)
+    fused_faces = np.full((S, Fs_max, 3), far_idx, np.int32)
+    ring_off = 0
+    for si in range(S):
+        v = vidxs[si]
+        fused_vidx[si, :len(v)] = v
+        fused_vmask[si, :len(v)] = True
+        f = segfaces[si].copy()
+        # per-segment centroid ids (num_verts + bi) -> global centroid rows
+        # at num_verts + ring_off + bi
+        band = f >= num_verts
+        f[band] += ring_off
+        fused_faces[si, :f.shape[0]] = f
+        ring_off += len(bands[si])
+
     return SegmentTables(names=tuple(names), vidx=tuple(vidxs),
-                         band_verts=tuple(bands), faces=tuple(segfaces))
+                         band_verts=tuple(bands), faces=tuple(segfaces),
+                         fused_vidx=fused_vidx, fused_vmask=fused_vmask,
+                         fused_faces=fused_faces, ring_idx=ring_idx,
+                         ring_w=ring_w, num_verts=num_verts)
 
 
 def segment_exterior_per_segment(tables: SegmentTables,
@@ -98,6 +146,49 @@ def segment_exterior_per_segment(tables: SegmentTables,
     return out
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def segment_exterior_fused(tables: SegmentTables, vertices: jnp.ndarray,
+                           interpret: bool = False):
+    """All segments' exterior tests in ONE winding evaluation.
+
+    vertices: (B, V, 3). Returns (B, S, Ns_max) bool; padded slots are
+    True (exterior == "nothing to forgive"). Equivalent to
+    segment_exterior_per_segment but the S sub-problems are flattened into
+    the kernel's batch axis (grid B*S) -- one Pallas launch instead of S
+    (reference semantics: tuch/utils/segmentation.py:81-99).
+    """
+    from tuch_tpu.ops import contact_pallas as cpk
+
+    B, V, _ = vertices.shape
+    S, Ns = tables.fused_vidx.shape
+    Fs = tables.fused_faces.shape[1]
+
+    # Band-ring centroids for every segment at once: (B, C, 3).
+    ring_idx = jnp.asarray(tables.ring_idx)
+    ring_w = jnp.asarray(tables.ring_w)
+    cent = jnp.einsum('cl,bcld->bcd', ring_w, vertices[:, ring_idx, :])
+    far = jnp.full((B, 1, 3), 1e7, vertices.dtype)
+    verts_ext = jnp.concatenate([vertices, cent, far], axis=1)
+
+    fv = jnp.asarray(tables.fused_vidx)
+    pts = vertices[:, fv.reshape(-1), :].reshape(B * S, Ns, 3)
+    ff = jnp.asarray(tables.fused_faces)
+    tris = verts_ext[:, ff.reshape(-1), :].reshape(B * S, Fs, 3, 3)
+
+    if cpk.pallas_available() or interpret:
+        tq = min(512, _round_up(Ns, 128))
+        tf = min(2048, _round_up(Fs, 128))
+        wn = cpk.winding_numbers_pallas_tris(pts, tris, tq=tq, tf=tf,
+                                             interpret=interpret)
+    else:
+        wn = winding_numbers(pts, tris, block_f=min(1024, Fs))
+    ext = (wn <= 0.99).reshape(B, S, Ns)
+    return ext | ~jnp.asarray(tables.fused_vmask)[None]
+
+
 def forgive_segment_interiors(tables: SegmentTables,
                               vertices: jnp.ndarray,
                               exterior: jnp.ndarray) -> jnp.ndarray:
@@ -107,12 +198,13 @@ def forgive_segment_interiors(tables: SegmentTables,
     whose segment-local test says "interior" is an *allowed* self
     intersection; the reference then flips the global flag to exterior
     (tuch/train/loss.py:264-266 -- note it flips where segm_ext == 0).
-    Pure scatter-based equivalent: exterior[v] |= ~segment_exterior[v].
+    Pure scatter-based equivalent: exterior[v] |= ~segment_exterior[v],
+    done as one scatter-max over the fused (S, Ns_max) layout.
     """
-    seg_ext = segment_exterior_per_segment(tables, vertices)
-    for vidx, ext_s in zip(tables.vidx, seg_ext):
-        upd = jnp.logical_not(ext_s)  # interior within own segment
-        idx = jnp.asarray(vidx)
-        cur = exterior[:, idx]
-        exterior = exterior.at[:, idx].set(cur | upd)
-    return exterior
+    seg_ext = segment_exterior_fused(tables, vertices)  # (B, S, Ns)
+    B = vertices.shape[0]
+    upd = (~seg_ext & jnp.asarray(tables.fused_vmask)[None]).reshape(B, -1)
+    idx = jnp.asarray(tables.fused_vidx).reshape(-1)
+    forgiven = jnp.zeros(exterior.shape, jnp.int32).at[:, idx].max(
+        upd.astype(jnp.int32))
+    return exterior | (forgiven > 0)
