@@ -55,6 +55,72 @@ def test_shard_params_tp_specs(mesh8):
     assert sh['conv']['kernel'].spec == P()
 
 
+def _tiny_contact_problem(B=4, num_verts=110, seed=0):
+    from tuch_tpu import assets
+    from tuch_tpu.losses.smplify import ContactAssets
+    from tuch_tpu.ops import contact as contact_ops
+
+    model, extras = assets.synthetic_smpl(num_verts=num_verts, seed=seed)
+    ia, ib, ma, mb = contact_ops.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+    ca = ContactAssets(
+        geomask=jnp.asarray(extras.geodists > 0.3),
+        faces=jnp.asarray(model.faces),
+        region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
+        region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb))
+    rng = np.random.RandomState(3)
+    V = model.v_template.shape[0]
+    verts = jnp.asarray(
+        np.asarray(model.v_template)[None]
+        + 0.02 * rng.randn(B, V, 3).astype(np.float32))
+    return model, extras, ca, verts
+
+
+def test_contact_neighbors_cp_matches_single_device(mesh8):
+    from tuch_tpu.losses.smplify import contact_neighbors
+    from tuch_tpu.parallel.contact_parallel import TRACE_STATS
+
+    model, extras, ca, verts = _tiny_contact_problem()
+    ext_ref, arg_ref = contact_neighbors(verts, ca)
+    n0 = TRACE_STATS['cp_contact_traces']
+    ext_cp, arg_cp = contact_neighbors(verts, ca, mesh=mesh8)
+    assert TRACE_STATS['cp_contact_traces'] == n0 + 1
+    np.testing.assert_array_equal(np.asarray(ext_cp), np.asarray(ext_ref))
+    np.testing.assert_array_equal(np.asarray(arg_cp), np.asarray(arg_ref))
+
+
+def test_contact_fitting_loss_cp_matches_single_device(mesh8):
+    """Full in-loop contact loss, cp-sharded vs single-device."""
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.losses import smplify as SL
+    from tuch_tpu.losses.prior import create_gmm_prior
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+
+    model, extras, ca, verts = _tiny_contact_problem()
+    prior = create_gmm_prior(assets_mod.synthetic_gmm_prior())
+    B = verts.shape[0]
+    rng = np.random.RandomState(5)
+    pose = jnp.asarray((rng.randn(B, 72) * 0.1).astype(np.float32))
+    out = smpl_forward_pose72(model, jnp.zeros((B, 10)), pose)
+    kp2d = rng.uniform(0, 224, (B, 49, 2)).astype(np.float32)
+    conf = np.ones((B, 49), np.float32)
+    cam_t = jnp.asarray(np.tile([[0, 0, 20.0]], (B, 1)).astype(np.float32))
+    cc = jnp.full((B, 2), 112.0)
+    P = ca.region_idx_a.shape[0]
+    gt_contact = jnp.asarray((rng.rand(B, P) > 0.5).astype(np.float32))
+
+    def loss(mesh):
+        return SL.contact_fitting_loss(
+            pose[:, 3:], pose[:, :3], jnp.zeros((B, 10)), out.joints,
+            out.vertices, cam_t, cc, jnp.asarray(kp2d), jnp.asarray(conf),
+            prior, ca, gt_contact, jnp.zeros(B, bool), jnp.ones(B, bool),
+            euclthres=0.02, mesh=mesh)
+
+    ref = float(loss(None))
+    got = float(loss(mesh8))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_process_shard_single_host():
     from tuch_tpu.parallel.multihost import process_shard
     lo, hi = process_shard(100)

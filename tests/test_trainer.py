@@ -50,3 +50,48 @@ def test_trainer_fit_checkpoint_resume(tmp_path):
     tr2 = Trainer(opts2, runtime.hmr, runtime.variables, runtime.assets,
                   mixed, val)
     assert int(np.asarray(tr2.state.step)) == steps
+
+
+def test_static_fits_seeding(tmp_path):
+    """{ds}_fits.npy in static_fits_dir lands in TrainState.fits; checkpoint
+    fits take priority over static (reference fits_dict.py:38-51)."""
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+
+    static_dir = tmp_path / 'static_fits'
+    static_dir.mkdir()
+    static = np.full((8, 82), 0.25, np.float32)
+    np.save(static_dir / 'mtp_fits.npy', static)
+
+    opts = cfgmod.TrainConfig(
+        name='sf', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=1, run_smplify=False,
+        contact_loss_weight=0.0, synthetic=True,
+        static_fits_dir=str(static_dir))
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, None)
+    np.testing.assert_allclose(np.asarray(tr.state.fits), static)
+
+    # checkpoint-dir fits override static fits
+    ckpt = np.full((8, 82), -0.5, np.float32)
+    np.save(os.path.join(opts.checkpoint_dir, 'mtp_fits.npy'), ckpt)
+    tr2 = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, None)
+    np.testing.assert_allclose(np.asarray(tr2.state.fits), ckpt)
+
+    # static_fits_dir='none' disables seeding -> zeros
+    opts3 = cfgmod.TrainConfig(**{**opts.__dict__,
+                                  'static_fits_dir': 'none',
+                                  'name': 'sf3',
+                                  'log_dir': str(tmp_path / 'logs3')})
+    opts3._finalized = False
+    opts3.finalize()
+    tr3 = Trainer(opts3, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, None)
+    assert float(np.abs(np.asarray(tr3.state.fits)).max()) == 0.0

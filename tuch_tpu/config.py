@@ -120,6 +120,11 @@ class TrainConfig:
     gt_train_weight: float = 1.0
 
     run_smplify: bool = False
+    # Directory with {ds}_fits.npy warm-start fits (reference
+    # tuch/train/fits_dict.py:44-51 seeds from config.STATIC_FITS_DIR;
+    # checkpoint fits take priority). Empty string = config.STATIC_FITS_DIR
+    # when it exists; 'none' disables seeding.
+    static_fits_dir: str = ''
     smplify_threshold: float = 100.0
     num_smplify_iters: int = 10
     use_contact_in_the_loop: bool = True

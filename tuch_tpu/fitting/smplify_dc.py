@@ -44,6 +44,10 @@ class SMPLifyConfig(NamedTuple):
     # (stop-gradient) neighbor sets for speed -- the winding test
     # dominates the iteration cost and drifts slowly under 1e-2 steps.
     exterior_refresh_every: int = 1
+    # Optional ('dp', 'cp') jax.sharding.Mesh: cp > 1 shards the contact
+    # quadratics' triangle/column axes (parallel/contact_parallel.py).
+    # Static (closed over at trace time), never a traced argument.
+    mesh: Optional[object] = None
 
 
 class SMPLifyResult(NamedTuple):
@@ -141,12 +145,13 @@ def smplify_dc(model: SMPLModel,
                 has_discrete_contact, config.euclthres,
                 focal_length=config.focal_length,
                 contact_loss_weight=config.contact_loss_weight,
-                cached_neighbors=neighbors)
+                cached_neighbors=neighbors, mesh=config.mesh)
 
         def compute_neighbors(p):
             out = smpl_forward(model, betas1, p['body_pose'],
                                p['global_orient'])
-            return L.contact_neighbors(out.vertices, assets)
+            return L.contact_neighbors(out.vertices, assets,
+                                       mesh=config.mesh)
 
         opt = optax.adam(config.step_size, b1=0.9, b2=0.999)
         body_params = {'body_pose': body_pose0,

@@ -131,8 +131,8 @@ def make_hd_assets_compact(vert_ids: np.ndarray, bary: np.ndarray,
 
 def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
                  valid_fit: jnp.ndarray, euclthres: float,
-                 hd: Optional[HDAssets] = None, hd_k: int = 1024
-                 ) -> jnp.ndarray:
+                 hd: Optional[HDAssets] = None, hd_k: int = 1024,
+                 mesh=None) -> jnp.ndarray:
     """TUCH self-contact push/pull loss, batched (tuch/train/loss.py:240-317).
 
     Returns the mean over valid_fit samples of
@@ -144,7 +144,7 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
     gather of "HD verts on faces touching a contact vertex".
     """
     exterior, v2v_min, in_contact = self_contact_terms(
-        verts, assets, euclthres)
+        verts, assets, euclthres, mesh=mesh)
     if hd is not None:
         hd_k = min(hd_k, int(hd.geovec.shape[0]))
 
@@ -209,12 +209,12 @@ def regressor_loss(weights: LossWeights,
                    valid_fit, valid_fit_shape,
                    contact_assets: Optional[ContactAssets] = None,
                    euclthres: float = 0.02,
-                   hd: Optional[HDAssets] = None):
+                   hd: Optional[HDAssets] = None, mesh=None):
     """Full training loss (tuch/train/loss.py:94-168). Returns (total, dict)."""
     loss_contact = jnp.asarray(0.0)
     if weights.contact > 0 and contact_assets is not None:
         loss_contact = contact_loss(pred_vertices, contact_assets,
-                                    valid_fit, euclthres, hd=hd)
+                                    valid_fit, euclthres, hd=hd, mesh=mesh)
 
     l_pose, l_betas = smpl_param_loss(pred_rotmat, pred_betas, opt_pose,
                                       opt_betas, valid_fit, valid_fit_shape)

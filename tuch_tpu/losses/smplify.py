@@ -96,7 +96,7 @@ class ContactAssets(NamedTuple):
 
 
 def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
-                       euclthres: float, block_f: int = 2048):
+                       euclthres: float, block_f: int = 2048, mesh=None):
     """Shared machinery: exterior flags + geodesic-masked nearest distances.
 
     verts: (B, V, 3). Returns (exterior (B, V) bool [stop-grad],
@@ -111,25 +111,35 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     On TPU backends the quadratic pieces run as fused Pallas kernels
     (tuch_tpu/ops/contact_pallas.py); elsewhere the streamed jnp versions.
     """
-    exterior, argmin = contact_neighbors(verts, assets, block_f=block_f)
+    exterior, argmin = contact_neighbors(verts, assets, block_f=block_f,
+                                         mesh=mesh)
     v2v_min = contact_distances(verts, argmin)
     in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
     return exterior, v2v_min, in_contact
 
 
 def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
-                      block_f: int = 2048):
+                      block_f: int = 2048, mesh=None):
     """The stop-gradient half: winding in/out flags + masked argmin.
 
     Separated from contact_distances so in-the-loop fitters can refresh
     these every K iterations (SMPLifyConfig.exterior_refresh_every) -- the
     winding test dominates the iteration cost and changes slowly under
     small Adam steps.
+
+    mesh: optional jax.sharding.Mesh with axes ('dp', 'cp'). When cp > 1
+    the quadratic triangle/column axes are sharded over 'cp' via shard_map
+    (parallel/contact_parallel.py) so a 2D mesh uses both axes during the
+    dominant computation; cp == 1 / None uses the single-device kernels.
     """
     from tuch_tpu.ops import contact_pallas as cpk
 
     vd = jax.lax.stop_gradient(verts)
-    if cpk.pallas_available():
+    if mesh is not None and mesh.shape.get('cp', 1) > 1:
+        from tuch_tpu.parallel.contact_parallel import contact_neighbors_cp
+        wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
+                                          assets.geomask, mesh)
+    elif cpk.pallas_available():
         wn = cpk.winding_numbers_pallas(vd, vd, assets.faces)
         _, argmin = cpk.masked_min_dist_pallas(
             vd, assets.geomask.astype(jnp.uint8))
@@ -176,7 +186,7 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
                          focal_length=5000.0, sigma=100.0,
                          pose_prior_weight=1.0,
                          contact_loss_weight=1000.0,
-                         cached_neighbors=None):
+                         cached_neighbors=None, mesh=None):
     """Stage-2 loss with self-contact, scalar.
 
     Fully-batched equivalent of tuch/smplify/losses.py:34-123:
@@ -192,7 +202,7 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
     pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
 
     if cached_neighbors is None:
-        exterior, argmin = contact_neighbors(verts, assets)
+        exterior, argmin = contact_neighbors(verts, assets, mesh=mesh)
     else:
         exterior, argmin = cached_neighbors
     v2v_min = contact_distances(verts, argmin)

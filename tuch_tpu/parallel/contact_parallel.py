@@ -14,9 +14,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tuch_tpu.ops.contact import INV_4PI, _solid_angle_block_masked
+
+# Trace-time counters: incremented when the cp-sharded code paths are
+# STAGED into a jitted program. The multichip dry run asserts on these to
+# prove the production train step actually routes contact through the
+# cp-parallel kernels (not just the unit tests).
+TRACE_STATS = {'cp_contact_traces': 0}
 
 
 def _local_winding_sum(points, verts, faces_shard, valid_shard,
@@ -78,3 +84,113 @@ def winding_numbers_cp(points: jnp.ndarray, verts: jnp.ndarray,
         return jax.lax.psum(partial_sum, 'cp') * INV_4PI
 
     return run(points, verts, jnp.asarray(faces_p), jnp.asarray(valid))
+
+
+def _local_masked_min(rows, cols, mask, col_ids, block_m: int):
+    """Masked nearest-column search over one device's column shard.
+
+    rows: (B, V, 3); cols: (B, Vc, 3); mask: (V, Vc) bool; col_ids: (Vc,)
+    global column indices (>= V on padding). Returns
+    (min_d2 (B, V), argmin (B, V) global int32). Streams column blocks so
+    nothing (V, Vc) is materialized; same update rule (strictly-less) as
+    ops.contact.masked_min_dist so the first/lowest index wins ties.
+    """
+    Vc = cols.shape[1]
+    pad = (-Vc) % block_m
+    if pad:
+        cols = jnp.pad(cols, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=1e8)
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        col_ids = jnp.pad(col_ids, (0, pad),
+                          constant_values=np.int32(2 ** 30))
+    nb = cols.shape[1] // block_m
+    mask_blocks = mask.reshape(mask.shape[0], nb, block_m)
+    id_blocks = col_ids.reshape(nb, block_m)
+
+    def single(r, c):  # r: (V, 3); c: (Vc', 3)
+        xx = jnp.sum(r * r, axis=-1)
+        c_blocks = c.reshape(nb, block_m, 3)
+
+        def body(carry, xs):
+            best_d2, best_idx = carry
+            cb, mb, ib = xs
+            yy = jnp.sum(cb * cb, axis=-1)
+            xy = r @ cb.T
+            d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+            d2 = jnp.where(mb, d2, jnp.inf)
+            blk_min = jnp.min(d2, axis=1)
+            blk_arg = ib[jnp.argmin(d2, axis=1)]
+            upd = blk_min < best_d2
+            return (jnp.where(upd, blk_min, best_d2),
+                    jnp.where(upd, blk_arg, best_idx)), None
+
+        # carry varies over both mesh axes (dp rows x cp columns); derive
+        # init from r (dp-varying), pcast in the cp axis.
+        init_d2 = jax.lax.pcast(r[:, 0] * 0.0 + jnp.inf, ('cp',),
+                                to='varying')
+        # index 0 when nothing is allowed anywhere -- matches the
+        # single-device streamed argmin's zero init.
+        init_ix = jax.lax.pcast((r[:, 0] * 0.0).astype(jnp.int32), ('cp',),
+                                to='varying')
+        (min_d2, argmin), _ = jax.lax.scan(
+            body, (init_d2, init_ix),
+            (c_blocks, jnp.moveaxis(mask_blocks, 1, 0), id_blocks))
+        return min_d2, argmin
+
+    return jax.vmap(single)(rows, cols)
+
+
+def contact_neighbors_cp(verts: jnp.ndarray, faces: np.ndarray,
+                         geomask: jnp.ndarray, mesh: Mesh,
+                         block_f: int = 1024, block_m: int = 1024):
+    """The contact stop-gradient half, 2D-sharded over the (dp, cp) mesh.
+
+    verts: (B, V, 3) with B divisible by mesh dp. Returns
+    (winding (B, V), argmin (B, V) int32) == the single-device
+    (winding_numbers_same_tris, masked_min_dist[1]) pair, but with the
+    quadratic axes sharded over 'cp': each device reduces its (batch shard
+    x triangle shard) winding tile and its (row x column shard) nearest-
+    vertex tile; psum / pmin over 'cp' merge the partials (tiny (B, V)
+    collectives vs the O(V^2) compute they parallelize).
+    """
+    TRACE_STATS['cp_contact_traces'] += 1
+    ncp = mesh.shape['cp']
+    V = verts.shape[1]
+    F = faces.shape[0]
+
+    fpad = (-F) % ncp
+    faces_p = np.concatenate(
+        [np.asarray(faces), np.zeros((fpad, 3), faces.dtype)], axis=0)
+    fvalid = np.arange(F + fpad) < F
+
+    # Column shard layout: pad V up to a multiple of cp; padded columns are
+    # banned by the mask and carry out-of-range ids.
+    cpad = (-V) % ncp
+    col_ids = np.arange(V + cpad, dtype=np.int32)
+    col_ids[V:] = 2 ** 30
+    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, cpad)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P('dp'), P('cp'), P('cp'), P(None, 'cp'), P('cp')),
+             out_specs=(P('dp'), P('dp'), P('dp')))
+    def run(vts, f_shard, fv_shard, geo_shard, id_shard):
+        wn_part = _local_winding_sum(vts, vts, f_shard, fv_shard, block_f)
+        wn = jax.lax.psum(wn_part, 'cp') * INV_4PI
+
+        # local columns: slice this rank's shard out of the full verts
+        i_cp = jax.lax.axis_index('cp')
+        vc = (V + cpad) // ncp
+        vts_pad = jnp.pad(vts, ((0, 0), (0, cpad), (0, 0)),
+                          constant_values=1e8)
+        cols = jax.lax.dynamic_slice_in_dim(vts_pad, i_cp * vc, vc, axis=1)
+        loc_d2, loc_arg = _local_masked_min(vts, cols, geo_shard, id_shard,
+                                            block_m)
+        best_d2 = jax.lax.pmin(loc_d2, 'cp')
+        cand = jnp.where(loc_d2 == best_d2, loc_arg, 2 ** 30)
+        best_arg = jax.lax.pmin(cand, 'cp')
+        return wn, best_d2, best_arg
+
+    wn, min_d2, argmin = run(verts, jnp.asarray(faces_p),
+                             jnp.asarray(fvalid), geo_p,
+                             jnp.asarray(col_ids))
+    return wn, jnp.minimum(argmin, V - 1).astype(jnp.int32)

@@ -63,12 +63,18 @@ def region_contact_signature(verts: jnp.ndarray,
 
 def make_train_step(hmr_model, assets: TuchAssets, options,
                     optimizer: optax.GradientTransformation,
-                    num_contact_pairs: int):
+                    num_contact_pairs: int, mesh=None):
     """Build the jitted train step.
 
     options: TrainConfig (tuch_tpu/config.py). Returns
     step_fn(state, batch) -> (state, metrics, outputs) mirroring the
     information flow of TUCH.forward_train_step (train_module.py:112-336).
+
+    mesh: optional ('dp', 'cp') jax.sharding.Mesh. With cp > 1 the contact
+    quadratics (winding + masked nearest-vertex) inside both the in-loop
+    SMPLify and the regressor contact loss run cp-sharded via shard_map,
+    so the second mesh axis works during the dominant computation instead
+    of idling (SURVEY.md section 5's big-axis strategy in production).
     """
     weights = RL.LossWeights(
         shape=options.shape_loss_weight,
@@ -89,7 +95,8 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         euclthres=0.0,
         contact_loss_weight=options.contact_in_the_loop_loss_weight,
         exterior_refresh_every=getattr(options,
-                                       'smplify_exterior_refresh', 1))
+                                       'smplify_exterior_refresh', 1),
+        mesh=mesh)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         B = batch['img'].shape[0]
@@ -216,7 +223,7 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 pred_kp2d, gt_keypoints_2d, pred_out.joints, gt_joints,
                 has_pose_3d, pred_out.vertices, o_verts, pred_camera,
                 valid_fit, valid_fit, contact_assets=assets.contact,
-                euclthres=constants.EUCLTHRES, hd=assets.hd)
+                euclthres=constants.EUCLTHRES, hd=assets.hd, mesh=mesh)
 
             aux = dict(
                 loss_dict=loss_dict,

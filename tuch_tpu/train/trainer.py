@@ -87,16 +87,40 @@ class Trainer:
         else:
             self.optimizer = optax.adam(options.lr)
         sizes = train_ds.dataset_sizes()
+        # Seed priority: checkpoint fits > static fits > zeros (reference
+        # tuch/train/fits_dict.py:38-51). '' = default static dir when
+        # present; 'none' = disabled.
+        static_dir = getattr(options, 'static_fits_dir', '')
+        if static_dir == '':
+            from tuch_tpu import config as cfg
+            static_dir = cfg.STATIC_FITS_DIR \
+                if os.path.isdir(cfg.STATIC_FITS_DIR) else None
+        elif str(static_dir).lower() == 'none':
+            static_dir = None
         store = fits_store.create_fits_store(
-            sizes, static_fits_dir=None,
+            sizes, static_fits_dir=static_dir,
             checkpoint_dir=options.checkpoint_dir)
         self.fits_layout = store
         self.offsets_table = np.asarray(
             [store.offsets[n] for n in train_ds.dataset_list], np.int32)
 
+        # Opt-in ('dp', 'cp') device mesh: dp shards the batch, cp > 1
+        # additionally shards the contact quadratics' triangle/column axes
+        # inside the step (parallel/contact_parallel.py).
+        self.mesh = None
+        if getattr(options, 'mesh_cp', 1) > 1 \
+                or getattr(options, 'mesh_dp', 0) > 1:
+            from tuch_tpu.parallel import mesh as pmesh
+            self.mesh = pmesh.make_mesh(dp=options.mesh_dp,
+                                        cp=options.mesh_cp)
+            assert options.batch_size % self.mesh.shape['dp'] == 0, (
+                'batch_size must divide over the dp mesh axis',
+                options.batch_size, self.mesh.shape)
+
         num_pairs = int(assets.contact.region_idx_a.shape[0])
         self.step_fn = jax.jit(make_train_step(
-            hmr_model, assets, options, self.optimizer, num_pairs))
+            hmr_model, assets, options, self.optimizer, num_pairs,
+            mesh=self.mesh))
 
         params = init_variables['params']
         batch_stats = init_variables.get('batch_stats', {})
@@ -166,6 +190,9 @@ class Trainer:
             if bi == prof_hi:
                 jax.profiler.stop_trace()
             batch = add_fits_indices(batch, self.offsets_table)
+            if self.mesh is not None:
+                from tuch_tpu.parallel import mesh as pmesh
+                batch = pmesh.shard_batch(batch, self.mesh)
             self.state, metrics, outputs = self.step_fn(self.state, batch)
             step = int(np.asarray(self.state.step))
 
@@ -218,6 +245,10 @@ class Trainer:
         loader = CheckpointLoader(self.val_ds,
                                   batch_size=self.options.batch_size,
                                   shuffle=False, num_workers=2)
+        # Without the H36M joint regressor the "joint" error is a vertex
+        # subsample -- a v2v proxy, NOT MPJPE; label it as such.
+        have_regressor = self.j_regressor_h36m is not None
+        joint_metric = 'mpjpe' if have_regressor else 'mpjpe_v2v_proxy'
         mpjpe_all, v2v_all = [], []
         first_outputs = None
         for bi, batch in enumerate(loader.epoch_iter(
@@ -244,8 +275,9 @@ class Trainer:
             return float('nan')
         mpjpe = float(np.concatenate(mpjpe_all).mean() * 1000)
         v2v = float(np.concatenate(v2v_all).mean() * 1000)
-        self.logger.scalars('val', {'mpjpe': mpjpe, 'v2v': v2v}, step)
-        print(f'[val] mpjpe {mpjpe:.2f}mm v2v {v2v:.2f}mm', flush=True)
+        self.logger.scalars('val', {joint_metric: mpjpe, 'v2v': v2v}, step)
+        print(f'[val] {joint_metric} {mpjpe:.2f}mm v2v {v2v:.2f}mm',
+              flush=True)
         if self.renderer is not None and first_outputs is not None:
             batch, pred_v, cam = first_outputs
             cam_t = np.asarray(weak_perspective_to_translation(
