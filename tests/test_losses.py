@@ -181,10 +181,10 @@ def test_contact_loss_pull_tightens(tiny_smpl):
     v = np.asarray(model.v_template).copy()
     v2 = v.copy()
     v2[:, 1] *= 0.02  # walls ~0.007 apart, geodesically far
-    loss_rest = RL.contact_loss(jnp.asarray(v)[None], ca,
-                                jnp.array([True]), euclthres=0.02)
-    loss_squashed = RL.contact_loss(jnp.asarray(v2)[None], ca,
-                                    jnp.array([True]), euclthres=0.02)
+    loss_rest, _ = RL.contact_loss(jnp.asarray(v)[None], ca,
+                                   jnp.array([True]), euclthres=0.02)
+    loss_squashed, _ = RL.contact_loss(jnp.asarray(v2)[None], ca,
+                                       jnp.array([True]), euclthres=0.02)
     assert float(loss_squashed) < float(loss_rest)
 
 
@@ -207,7 +207,69 @@ def test_contact_loss_grad(tiny_smpl):
     ca = make_contact_assets(tiny_smpl)
 
     def f(v):
-        return RL.contact_loss(v, ca, jnp.array([True]), euclthres=0.02)
+        return RL.contact_loss(v, ca, jnp.array([True]), euclthres=0.02)[0]
 
     g = jax.grad(f)(jnp.asarray(np.asarray(model.v_template))[None] * 0.9)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_hd_selection_any_face_vertex(tiny_smpl):
+    """HD candidates are selected when ANY of the source face's 3 vertices
+    is in contact/interior (reference loss.py:278-281) -- a representative-
+    first-vertex rule would miss faces whose v0 is inactive."""
+    model, _ = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    v[:, 1] *= 0.02  # opposite walls ~0.007 apart -> in contact
+    verts = jnp.asarray(v)[None]
+
+    ext, v2v_min, in_c = SL.self_contact_terms(verts, ca, euclthres=0.02)
+    active = np.asarray(in_c[0] | ~ext[0])
+    faces = np.asarray(model.faces)
+    geomask = np.asarray(ca.geomask)
+    # face A: FIRST vertex inactive but another vertex active -- exactly
+    # the case where any-vertex and first-vertex selection disagree.
+    cand_a = np.where(~active[faces[:, 0]]
+                      & (active[faces[:, 1]] | active[faces[:, 2]]))[0]
+    assert cand_a.size > 0, 'crafted mesh must exercise the divergence'
+    # face B: all verts active, geodesically far from A (opposite wall) so
+    # the pair passes the HD geomask.
+    all_active = np.where(active[faces].all(axis=1))[0]
+    fa, fb = -1, -1
+    for a in cand_a:
+        far = all_active[geomask[faces[a, 0], faces[all_active, 0]]]
+        if far.size:
+            fa, fb = int(a), int(far[0])
+            break
+    assert fa >= 0, 'need a geodesically-far all-active partner face'
+
+    # two HD points: barycenters of faces A and B
+    hd = RL.make_hd_assets_compact(
+        vert_ids=faces[[fa, fb]], bary=np.full((2, 3), 1 / 3, np.float32),
+        geovec=np.array([fa, fb]), faces=faces)
+    loss, aux = RL.contact_loss(verts, ca, jnp.array([True]),
+                                euclthres=0.02, hd=hd, hd_k=2)
+    # any-vertex rule selects BOTH points -> they are each other's
+    # neighbor -> nonzero push/pull energy. First-vertex-only selection
+    # would drop point A, leaving B neighborless -> exactly 0.
+    assert float(loss) > 0.0
+    assert float(aux['hd_truncated_frac']) == 0.0
+
+
+def test_hd_truncation_metric(tiny_smpl):
+    """hd_k smaller than the active candidate count must be reported."""
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    v[:, 1] *= 0.02
+    verts = jnp.asarray(v)[None]
+    hd = RL.make_hd_assets_compact(extras.hd_vert_ids, extras.hd_bary,
+                                   extras.hd_geovec,
+                                   np.asarray(model.faces))
+    _, aux_small = RL.contact_loss(verts, ca, jnp.array([True]),
+                                   euclthres=0.02, hd=hd, hd_k=2)
+    _, aux_big = RL.contact_loss(verts, ca, jnp.array([True]),
+                                 euclthres=0.02, hd=hd,
+                                 hd_k=int(hd.geovec.shape[0]))
+    assert float(aux_small['hd_truncated_frac']) > 0.0
+    assert float(aux_big['hd_truncated_frac']) == 0.0

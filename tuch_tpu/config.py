@@ -137,6 +137,11 @@ class TrainConfig:
     grad_clip: float = 0.0           # global-norm gradient clip (0 = off)
     synthetic: bool = False          # run on synthetic assets/data
     use_hd: bool = True              # dense-surface contact in regressor loss
+    # Fixed candidate count for the HD contact path: the reference gathers
+    # a data-dependent number of HD points on contacting faces
+    # (tuch/train/loss.py:278-281); under jit this becomes a top-K with
+    # static K. Truncation is reported as train metric hd_truncated_frac.
+    hd_k: int = 1024
     mesh_dp: int = 0                 # data-parallel devices (0 = all)
     mesh_cp: int = 1                 # contact/triangle-parallel devices
     compute_dtype: str = 'float32'   # or 'bfloat16' for the backbone

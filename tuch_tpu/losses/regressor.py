@@ -105,6 +105,9 @@ class HDAssets(NamedTuple):
     bary: jnp.ndarray            # (H, K) combination weights
     geovec: jnp.ndarray          # (H,) face id each HD point samples from
     geovec_verts: jnp.ndarray    # (H,) representative SMPL vert per HD point
+    face_verts: jnp.ndarray      # (H, 3) ALL verts of the source face --
+                                 # candidate selection is any-vertex
+                                 # (reference loss.py:279-281)
 
 
 def make_hd_assets(vert_regressor: np.ndarray, geovec: np.ndarray,
@@ -122,26 +125,31 @@ def make_hd_assets_compact(vert_ids: np.ndarray, bary: np.ndarray,
                            ) -> HDAssets:
     """Build HDAssets directly from barycentric tables."""
     geovec = np.asarray(geovec)
-    geovec_verts = np.asarray(faces)[geovec][:, 0]
+    face_verts = np.asarray(faces)[geovec]          # (H, 3)
+    geovec_verts = face_verts[:, 0]
     return HDAssets(vert_ids=jnp.asarray(np.asarray(vert_ids, np.int32)),
                     bary=jnp.asarray(np.asarray(bary, np.float32)),
                     geovec=jnp.asarray(geovec.astype(np.int32)),
-                    geovec_verts=jnp.asarray(geovec_verts.astype(np.int32)))
+                    geovec_verts=jnp.asarray(geovec_verts.astype(np.int32)),
+                    face_verts=jnp.asarray(face_verts.astype(np.int32)))
 
 
 def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
                  valid_fit: jnp.ndarray, euclthres: float,
                  hd: Optional[HDAssets] = None, hd_k: int = 1024,
-                 mesh=None) -> jnp.ndarray:
+                 mesh=None):
     """TUCH self-contact push/pull loss, batched (tuch/train/loss.py:240-317).
 
-    Returns the mean over valid_fit samples of
+    Returns (loss, aux) where loss is the mean over valid_fit samples of
         sum_pull 0.005*tanh(d/0.005)^2  (exterior verts)
       + sum_push 1.0*tanh(d/0.04)^2     (interior verts)
-    where d is the geodesic-masked nearest-vertex distance. With `hd`, the
-    distances are evaluated on a dense resampled surface: a fixed top-K of
-    HD points closest to contact replaces the reference's data-dependent
-    gather of "HD verts on faces touching a contact vertex".
+    with d the geodesic-masked nearest-vertex distance, and aux carries
+    'hd_truncated_frac'. With `hd`, the distances are evaluated on a dense
+    resampled surface: a fixed top-K of HD points closest to contact
+    replaces the reference's data-dependent gather of "HD points sampled
+    from faces with any vertex in contact" (loss.py:278-281); candidates
+    beyond K are dropped, and hd_truncated_frac reports the mean dropped
+    fraction so the truncation is never silent.
     """
     exterior, v2v_min, in_contact = self_contact_terms(
         verts, assets, euclthres, mesh=mesh)
@@ -152,18 +160,21 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         pull = 0.005 * jnp.tanh(v2v_min / 0.005) ** 2
         push = 1.0 * jnp.tanh(v2v_min / 0.04) ** 2
         per_sample = (pull * exterior).sum(-1) + (push * (~exterior)).sum(-1)
-        return _masked_mean(per_sample, valid_fit)
+        return (_masked_mean(per_sample, valid_fit),
+                {'hd_truncated_frac': jnp.asarray(0.0)})
 
     def single(v, ext, d_min, in_c):
-        # Score HD points by their representative SMPL vertex's contact
-        # status: in contact or interior -> candidate (loss.py:278-281).
+        # Candidate HD points: sampled from a face ANY of whose 3 vertices
+        # is in contact or interior (loss.py:278-281).
         vert_active = in_c | (~ext)  # (V,)
-        hd_active = vert_active[hd.geovec_verts]  # (H,)
-        d_rep = d_min[hd.geovec_verts]
+        hd_active = vert_active[hd.face_verts].any(axis=1)  # (H,)
+        d_rep = d_min[hd.face_verts].min(axis=1)
         # Top-K most-contacting HD points (masked-out points get +inf key).
         key = jnp.where(hd_active, d_rep, jnp.inf)
         _, top_idx = jax.lax.top_k(-key, hd_k)
         sel_valid = jnp.take(hd_active, top_idx)
+        n_active = hd_active.sum()
+        trunc = jnp.maximum(n_active - hd_k, 0) / jnp.maximum(n_active, 1)
 
         ids = hd.vert_ids[top_idx]                    # (K, k)
         w_b = hd.bary[top_idx]                        # (K, k)
@@ -195,10 +206,12 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         pull = 0.005 * jnp.tanh(d_hd / 0.005) ** 2
         push = 1.0 * jnp.tanh(d_hd / 0.04) ** 2
         return ((pull * hd_ext * w_valid).sum()
-                + (push * (~hd_ext) * w_valid).sum())
+                + (push * (~hd_ext) * w_valid).sum()), trunc
 
-    per_sample = jax.vmap(single)(verts, exterior, v2v_min, in_contact)
-    return _masked_mean(per_sample, valid_fit)
+    per_sample, trunc = jax.vmap(single)(verts, exterior, v2v_min,
+                                         in_contact)
+    return (_masked_mean(per_sample, valid_fit),
+            {'hd_truncated_frac': _masked_mean(trunc, valid_fit)})
 
 
 def regressor_loss(weights: LossWeights,
@@ -209,12 +222,15 @@ def regressor_loss(weights: LossWeights,
                    valid_fit, valid_fit_shape,
                    contact_assets: Optional[ContactAssets] = None,
                    euclthres: float = 0.02,
-                   hd: Optional[HDAssets] = None, mesh=None):
+                   hd: Optional[HDAssets] = None, hd_k: int = 1024,
+                   mesh=None):
     """Full training loss (tuch/train/loss.py:94-168). Returns (total, dict)."""
     loss_contact = jnp.asarray(0.0)
+    contact_aux = {}
     if weights.contact > 0 and contact_assets is not None:
-        loss_contact = contact_loss(pred_vertices, contact_assets,
-                                    valid_fit, euclthres, hd=hd, mesh=mesh)
+        loss_contact, contact_aux = contact_loss(
+            pred_vertices, contact_assets, valid_fit, euclthres, hd=hd,
+            hd_k=hd_k, mesh=mesh)
 
     l_pose, l_betas = smpl_param_loss(pred_rotmat, pred_betas, opt_pose,
                                       opt_betas, valid_fit, valid_fit_shape)
@@ -240,4 +256,5 @@ def regressor_loss(weights: LossWeights,
         'loss_regr_betas': l_betas,
         'loss_cam': l_cam,
         'loss_contact': loss_contact,
+        **contact_aux,
     }

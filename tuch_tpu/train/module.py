@@ -223,7 +223,8 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 pred_kp2d, gt_keypoints_2d, pred_out.joints, gt_joints,
                 has_pose_3d, pred_out.vertices, o_verts, pred_camera,
                 valid_fit, valid_fit, contact_assets=assets.contact,
-                euclthres=constants.EUCLTHRES, hd=assets.hd, mesh=mesh)
+                euclthres=constants.EUCLTHRES, hd=assets.hd,
+                hd_k=getattr(options, 'hd_k', 1024), mesh=mesh)
 
             aux = dict(
                 loss_dict=loss_dict,
