@@ -19,55 +19,9 @@ import jax.numpy as jnp
 from tuch_tpu import assets
 from tuch_tpu.models import convert as cv
 from tuch_tpu.models import hmr as hmr_mod
+from tuch_tpu.models.torch_ref import (torch_backbone_forward,
+                                       torch_ief_head)
 from tests.test_cli_viz import fake_torch_state_dict
-
-
-def torch_backbone_forward(sd, x):
-    """ResNet-50 forward with functional ops, NCHW."""
-    import torch.nn.functional as F
-
-    def conv(x, w, stride=1, pad=0):
-        return F.conv2d(x, w, stride=stride, padding=pad)
-
-    def bn(x, p):
-        return F.batch_norm(x, sd[p + '.running_mean'],
-                            sd[p + '.running_var'], sd[p + '.weight'],
-                            sd[p + '.bias'], training=False, eps=1e-5)
-
-    x = F.relu(bn(conv(x, sd['conv1.weight'], 2, 3), 'bn1'))
-    x = F.max_pool2d(x, 3, 2, 1)
-    for li, blocks in enumerate([3, 4, 6, 3], start=1):
-        for b in range(blocks):
-            pre = f'layer{li}.{b}'
-            identity = x
-            stride = 2 if (li > 1 and b == 0) else 1
-            out = F.relu(bn(conv(x, sd[pre + '.conv1.weight']),
-                            pre + '.bn1'))
-            out = F.relu(bn(conv(out, sd[pre + '.conv2.weight'], stride,
-                                 1), pre + '.bn2'))
-            out = bn(conv(out, sd[pre + '.conv3.weight']), pre + '.bn3')
-            if pre + '.downsample.0.weight' in sd:
-                identity = bn(conv(x, sd[pre + '.downsample.0.weight'],
-                                   stride), pre + '.downsample.1')
-            x = F.relu(out + identity)
-    return x.mean(dim=(2, 3))  # == AvgPool2d(7) for 224 inputs
-
-
-def torch_ief_head(sd, xf, mean_pose, mean_shape, mean_cam, n_iter=3):
-    import torch.nn.functional as F
-    B = xf.shape[0]
-    pose = mean_pose.expand(B, -1)
-    shape = mean_shape.expand(B, -1)
-    cam = mean_cam.expand(B, -1)
-    for _ in range(n_iter):
-        xc = torch.cat([xf, pose, shape, cam], dim=1)
-        xc = F.linear(xc, sd['fc1.weight'], sd['fc1.bias'])
-        xc = F.linear(xc, sd['fc2.weight'], sd['fc2.bias'])
-        pose = F.linear(xc, sd['decpose.weight'], sd['decpose.bias']) + pose
-        shape = F.linear(xc, sd['decshape.weight'],
-                         sd['decshape.bias']) + shape
-        cam = F.linear(xc, sd['deccam.weight'], sd['deccam.bias']) + cam
-    return pose, shape, cam
 
 
 @pytest.fixture(scope='module')
@@ -121,3 +75,22 @@ def test_full_hmr_parity_224(parity_setup):
         jnp.asarray(pose_t.numpy()))).reshape(1, 24, 3, 3)
     np.testing.assert_allclose(np.asarray(rotmat_j), rot_from_torch,
                                atol=5e-4)
+
+
+def test_parity_cli_network_mode(tmp_path):
+    """python -m tuch_tpu.cli.parity --checkpoint x.pt: one-command gate."""
+    sd = fake_torch_state_dict()
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    sd['init_pose'] = extras.mean_pose6d[None]
+    sd['init_shape'] = extras.mean_shape[None]
+    sd['init_cam'] = extras.mean_cam[None]
+    path = str(tmp_path / 'ckpt.pt')
+    torch.save({'model': {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}}, path)
+    from tuch_tpu.cli import parity
+    assert parity.main(['--checkpoint', path]) == 0
+
+
+def test_parity_cli_skips_cleanly():
+    from tuch_tpu.cli import parity
+    assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt']) == 0
