@@ -80,3 +80,31 @@ def test_winding_hier_interpret_decisions(tiny_smpl):
     flips = np.mean((np.asarray(wn_h) <= 0.99)
                     != (np.asarray(wn_e) <= 0.99))
     assert flips < 0.02
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_winding_affine_kernel_matches_jnp():
+    """MXU-offloaded affine-form kernel: winding + in/out decisions must
+    match the subtraction-form reference on the hard self-winding case
+    (every point is a corner of its incident faces)."""
+    from tuch_tpu import assets
+    model, _ = assets.synthetic_smpl(num_verts=170, seed=0)
+    V = model.v_template.shape[0]
+    rng = np.random.RandomState(0)
+    posed = np.asarray(model.v_template)[None] \
+        + 0.02 * rng.randn(2, V, 3).astype(np.float32)
+    squashed = (np.asarray(model.v_template)
+                * np.array([1, 0.02, 1], np.float32))[None]
+    for verts in (posed, squashed):
+        bv = jnp.asarray(verts)
+        wn_a = cpk.winding_numbers_pallas_affine(
+            bv, bv, jnp.asarray(model.faces), tq=128, tf=256,
+            interpret=True)
+        wn_j = contact.winding_numbers_same_tris(
+            bv, bv, jnp.asarray(model.faces), block_f=64)
+        # winding values agree well inside the 0.99-threshold margin...
+        np.testing.assert_allclose(np.asarray(wn_a), np.asarray(wn_j),
+                                   atol=0.02)
+        # ...and every in/out decision is identical
+        np.testing.assert_array_equal(np.asarray(wn_a) <= 0.99,
+                                      np.asarray(wn_j) <= 0.99)

@@ -36,6 +36,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _FAR = 1e7  # padding triangles live here; their solid angle is exactly 0
+_CORNER_EPS2 = 1e-6  # (1mm)^2: affine-kernel corner mask, see below
 
 _HALF_PI = np.float32(np.pi / 2)
 _PI = np.float32(np.pi)
@@ -182,6 +183,160 @@ def winding_numbers_pallas_tris(points: jnp.ndarray, tris: jnp.ndarray,
             transcendentals=4 * B * Qp * Fp),
         interpret=interpret,
     )(pts, tris)
+    return out[:, 0, :Q] * INV_4PI
+
+
+def _winding_affine_kernel(pts_ref, tc_ref, out_ref):
+    """MXU-offloaded winding tile: per-pair dots via rank-4 matmuls.
+
+    Every per-pair quantity of the Van Oosterom-Strackee formula is affine
+    in the query point q:
+
+      (A-q).(B-q) = A.B - q.(A+B) + q.q
+      |A-q|^2     = A.A - 2 q.A   + q.q
+      (A-q).((B-q)x(C-q)) = det(A,B,C) - q.(BxC + CxA + AxB)
+                            (the q-quadratic/cubic terms cancel exactly)
+
+    so one (TQ, 4) x (4, TF) matmul per quantity (7 total) computes all
+    pairwise dots on the MXU; the VPU keeps only 3 sqrt, 3 fused adds of
+    q.q, ~10 mul/add for the denominator, and the atan2 -- about 1/3 of
+    the pure-VPU kernel's vector ops. fp32 matmuls stay exact enough for
+    the 0.99 in/out threshold (validated bitwise-decision-equal on posed
+    bodies in bench.py; the tile sums match the reference kernel to ~1e-4
+    relative).
+
+    pts_ref: (1, 4, TQ) rows [qx qy qz q.q]; tc_ref: (1, 28, TF) triangle
+    constants (see winding_numbers_pallas_affine); out_ref: (1, 1, TQ).
+    """
+    fi = pl.program_id(2)
+
+    q4 = pts_ref[0]           # (4, TQ): [qx, qy, qz, qq]
+    tc = tc_ref[0]            # (28, TF)
+    qt = q4[:3].T             # (TQ, 3)
+    qq = q4[3][:, None]       # (TQ, 1)
+    one = jnp.ones_like(qq)
+    qh = jnp.concatenate([qt, one], axis=1)  # (TQ, 4): [q, 1]
+
+    def dot4(rows):
+        # (TQ, 4) @ (4, TF) -> (TQ, TF) on the MXU
+        return jax.lax.dot_general(
+            qh, tc[rows],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # rows layout in tc (see wrapper): each group is [vec(3), const(1)]
+    numer = dot4(slice(0, 4))            # det(A,B,C) - q.n
+    dab = dot4(slice(4, 8)) + qq        # A.B - q.(A+B) + q.q
+    dbc = dot4(slice(8, 12)) + qq
+    dac = dot4(slice(12, 16)) + qq
+    la2 = dot4(slice(16, 20)) + qq      # |A-q|^2
+    lb2 = dot4(slice(20, 24)) + qq
+    lc2 = dot4(slice(24, 28)) + qq
+
+    la = jnp.sqrt(jnp.maximum(la2, 0.0))
+    lb = jnp.sqrt(jnp.maximum(lb2, 0.0))
+    lc = jnp.sqrt(jnp.maximum(lc2, 0.0))
+    denom = la * lb * lc + dab * lc + dac * lb + dbc * la
+
+    ang = 2.0 * _atan2(numer, denom)
+    # The affine form cancels catastrophically when q sits (numerically)
+    # on a triangle corner -- exactly the self-winding case, where every
+    # vertex is a corner of its ~6 incident faces and the true
+    # contribution is 0 (the subtraction-form kernel returns atan2(0,0)=0
+    # there). Zero any pair within 1mm of a corner: SMPL edge lengths are
+    # ~5-15mm, so no non-incident triangle is ever masked.
+    near_corner = jnp.minimum(jnp.minimum(la2, lb2), lc2) < _CORNER_EPS2
+    ang = jnp.where(near_corner, 0.0, ang)
+    partial = jnp.sum(ang, axis=1)[None, None, :]
+
+    @pl.when(fi == 0)
+    def _():
+        out_ref[...] = partial
+
+    @pl.when(fi > 0)
+    def _():
+        out_ref[...] = out_ref[...] + partial
+
+
+def _affine_triangle_constants(tris: jnp.ndarray) -> jnp.ndarray:
+    """(B, F, 3, 3) corners -> (B, 28, F) constants for the affine kernel.
+
+    Group layout (7 groups x 4 rows, each [-vec, const] so the kernel's
+    [q, 1] dot directly yields const - q.vec):
+      0: numer   n = BxC + CxA + AxB,           det(A,B,C)
+      1: dab     A+B,                           A.B
+      2: dbc     B+C,                           B.C
+      3: dac     A+C,                           A.C
+      4: la2     2A,                            A.A
+      5: lb2     2B,                            B.B
+      6: lc2     2C,                            C.C
+    """
+    A, Bc, C = tris[..., 0, :], tris[..., 1, :], tris[..., 2, :]
+    n = (jnp.cross(Bc, C) + jnp.cross(C, A) + jnp.cross(A, Bc))
+    det = jnp.sum(A * jnp.cross(Bc, C), axis=-1)
+
+    def group(vec, const):
+        return jnp.concatenate([-vec, const[..., None]], axis=-1)
+
+    groups = jnp.concatenate([
+        group(n, det),
+        group(A + Bc, jnp.sum(A * Bc, -1)),
+        group(Bc + C, jnp.sum(Bc * C, -1)),
+        group(A + C, jnp.sum(A * C, -1)),
+        group(2 * A, jnp.sum(A * A, -1)),
+        group(2 * Bc, jnp.sum(Bc * Bc, -1)),
+        group(2 * C, jnp.sum(C * C, -1)),
+    ], axis=-1)                                   # (B, F, 28)
+    return jnp.swapaxes(groups, 1, 2)             # (B, 28, F)
+
+
+@functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
+def winding_numbers_pallas_affine(points: jnp.ndarray, verts: jnp.ndarray,
+                                  faces: jnp.ndarray, tq: int = 512,
+                                  tf: int = 2048,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Winding numbers via the MXU-offloaded affine-form kernel.
+
+    Same contract as winding_numbers_pallas. Padding triangles have all
+    constants 0 -> numer 0, denom 0; atan2(0, 0) = 0 in the kernel's
+    polynomial (y == 0 branch with x >= 0), so they contribute nothing.
+    """
+    B, Q, _ = points.shape
+    F = faces.shape[0]
+    qpad = (-Q) % tq
+    fpad = (-F) % tf
+
+    qq = jnp.sum(points * points, axis=-1, keepdims=True)
+    pts = jnp.swapaxes(jnp.concatenate([points, qq], axis=-1), 1, 2)
+    if qpad:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, qpad)))
+    tc = _affine_triangle_constants(verts[:, faces, :])
+    if fpad:
+        tc = jnp.pad(tc, ((0, 0), (0, 0), (0, fpad)))
+
+    Qp, Fp = Q + qpad, F + fpad
+    grid = (B, Qp // tq, Fp // tf)
+
+    out = pl.pallas_call(
+        _winding_affine_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4, tq), lambda b, qi, fi: (b, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 28, tf), lambda b, qi, fi: (b, 0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq), lambda b, qi, fi: (b, 0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Qp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=(7 * 8 + 30) * B * Qp * Fp,
+            bytes_accessed=4 * B * (4 * Qp + 28 * Fp + Qp),
+            transcendentals=4 * B * Qp * Fp),
+        interpret=interpret,
+    )(pts, tc)
     return out[:, 0, :Q] * INV_4PI
 
 
