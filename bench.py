@@ -71,11 +71,18 @@ def build_problem(B, num_verts, num_iters):
     return problem
 
 
-def ours_iters_per_sec(problem, refresh_every: int = 1):
-    """Batched streamed body-stage via the real SMPLify-DC stage-2 scan."""
+def ours_iters_per_sec(problem, refresh_every: int = 1,
+                       with_quality: bool = False):
+    """Batched streamed body-stage via the real SMPLify-DC stage-2 scan.
+
+    with_quality also returns fit-quality numbers (mean final per-joint
+    reprojection term + contact energy) so speed knobs like
+    exterior_refresh_every carry an accuracy label.
+    """
     import jax
     import jax.numpy as jnp
     from tuch_tpu.fitting import smplify_dc as S
+    from tuch_tpu.losses import smplify as L
 
     model, prior, ca = problem['model'], problem['prior'], problem['ca']
     B, iters = problem['B'], problem['num_iters']
@@ -99,7 +106,8 @@ def ours_iters_per_sec(problem, refresh_every: int = 1):
 
     fit_n = make_fit(iters)
     fit_1 = make_fit(1)
-    jax.block_until_ready(fit_n(*args))
+    res_n = fit_n(*args)
+    jax.block_until_ready(res_n)
     jax.block_until_ready(fit_1(*args))
     t0 = time.time()
     jax.block_until_ready(fit_n(*args))
@@ -112,9 +120,101 @@ def ours_iters_per_sec(problem, refresh_every: int = 1):
     # marginal time is in the measurement noise (tiny problems), fall back
     # to the conservative total-time rate.
     marginal = t_n - t_1
-    if marginal < 0.2 * t_n:
-        return iters / t_n
-    return (iters - 1) / marginal
+    rate = iters / t_n if marginal < 0.2 * t_n else (iters - 1) / marginal
+    if not with_quality:
+        return rate
+    ext, v2v, inc = L.self_contact_terms(res_n.vertices, ca,
+                                         euclthres=0.02)
+    contact = float(L.push_pull_terms(ext, v2v, inc).mean())
+    reproj = float(jnp.asarray(res_n.reprojection_loss).mean())
+    return rate, {'final_reproj_per_joint': round(reproj, 4),
+                  'final_contact_energy': round(contact, 6)}
+
+
+def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
+    """Full production train step: HMR fwd+bwd + in-loop SMPLify-DC with
+    contact + accept/reject + fits writeback + HD/segments contact loss --
+    the number a training run actually moves at (reference hot loop:
+    tuch/train/loss.py:240-317 + train_module.py:112-336).
+
+    Returns (imgs_per_sec, breakdown dict of step-time components).
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tuch_tpu import config as cfgmod
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.train.module import TrainState, make_train_step
+
+    runtime = rt.build_runtime(synthetic=True, img_res=224)  # full topology
+
+    def build(run_smplify, contact_w):
+        options = cfgmod.TrainConfig(
+            name='bench_step', log_dir=tempfile.mkdtemp(), batch_size=B,
+            img_res=224, run_smplify=run_smplify,
+            num_smplify_iters=num_smplify_iters,
+            use_contact_in_the_loop=run_smplify,
+            contact_loss_weight=contact_w, num_workers=0)
+        options.finalize()
+        optimizer = optax.adam(options.lr)
+        step = make_train_step(runtime.hmr, runtime.assets, options,
+                               optimizer, len(runtime.contact_classes))
+        params = runtime.variables['params']
+        state = TrainState(
+            params=params,
+            batch_stats=runtime.variables['batch_stats'],
+            opt_state=optimizer.init(params),
+            fits=jnp.zeros((B, 82)),
+            rng=jax.random.PRNGKey(0),
+            step=jnp.asarray(0, jnp.int32))
+        return jax.jit(step), state
+
+    rng = np.random.RandomState(0)
+    P = len(runtime.contact_classes)
+    batch = {
+        'img': jnp.asarray(rng.randn(B, 224, 224, 3).astype(np.float32)
+                           * 0.1),
+        'keypoints': jnp.asarray(np.concatenate(
+            [rng.uniform(-0.8, 0.8, (B, 49, 2)), np.ones((B, 49, 1))],
+            -1).astype(np.float32)),
+        'pose': jnp.asarray((rng.randn(B, 72) * 0.1).astype(np.float32)),
+        'betas': jnp.asarray((rng.randn(B, 10) * 0.2).astype(np.float32)),
+        'contact_vec': jnp.asarray(
+            (rng.rand(B, P) > 0.6).astype(np.float32)),
+        'pose_3d': jnp.asarray(np.concatenate(
+            [rng.randn(B, 24, 3) * 0.2, np.ones((B, 24, 1))],
+            -1).astype(np.float32)),
+        'has_smpl': jnp.zeros(B), 'has_pgt_smpl': jnp.zeros(B),
+        'has_disc_contact': jnp.ones(B), 'has_gt_kpts': jnp.ones(B),
+        'has_pose_3d': jnp.zeros(B), 'is_flipped': jnp.zeros(B),
+        'rot_angle': jnp.zeros(B),
+        'sample_index': jnp.arange(B, dtype=jnp.int32),
+        'dataset_id': jnp.zeros(B, jnp.int32),
+        'fits_index': jnp.arange(B, dtype=jnp.int32),
+    }
+
+    def timed(step, state):
+        out = step(state, batch)
+        jax.block_until_ready(out[0].params)  # compile
+        t0 = time.time()
+        for _ in range(reps):
+            out = step(state, batch)
+            jax.block_until_ready(out[0].params)
+        return (time.time() - t0) / reps
+
+    t_full = timed(*build(True, 1e-5))          # smplify + contact loss
+    t_no_smplify = timed(*build(False, 1e-5))   # HMR + contact loss only
+    t_bare = timed(*build(False, 0.0))          # HMR fwd/bwd only
+    breakdown = {
+        'full_step_s': round(t_full, 4),
+        'smplify_in_loop_s': round(t_full - t_no_smplify, 4),
+        'regressor_contact_loss_s': round(t_no_smplify - t_bare, 4),
+        'hmr_fwd_bwd_s': round(t_bare, 4),
+        'num_smplify_iters': num_smplify_iters,
+    }
+    return B / t_full, breakdown
 
 
 def hmr_inference_imgs_per_sec(batch=64, dtype='float32'):
@@ -144,11 +244,13 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32'):
 
     x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
     jax.block_until_ready(fwd(x))
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
+    # best-of: per-rep timing is noisy through the remote-dispatch tunnel
+    best = float('inf')
+    for _ in range(5):
+        t0 = time.time()
         jax.block_until_ready(fwd(x))
-    return batch * reps / (time.time() - t0)
+        best = min(best, time.time() - t0)
+    return batch / best
 
 
 def winding_gpairs_per_sec(model, B=64):
@@ -161,10 +263,12 @@ def winding_gpairs_per_sec(model, B=64):
     v = jnp.asarray(np.asarray(model.v_template)[None].repeat(B, 0))
     f = jnp.asarray(model.faces)
     jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
-    t0 = time.time()
-    jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
-    dt = time.time() - t0
-    return B * v.shape[1] * f.shape[0] / dt / 1e9
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
+        best = min(best, time.time() - t0)
+    return B * v.shape[1] * f.shape[0] / best / 1e9
 
 
 def baseline_iters_per_sec(problem, max_samples=None):
@@ -261,31 +365,58 @@ def main():
         B, nv, iters = args.batch, 6890, args.iters
 
     problem = build_problem(B, nv, iters)
-    ours = ours_iters_per_sec(problem)
-    fast = ours_iters_per_sec(problem, refresh_every=4)
+    ours, quality_k1 = ours_iters_per_sec(problem, with_quality=True)
+    fast, quality_k4 = ours_iters_per_sec(problem, refresh_every=4,
+                                          with_quality=True)
 
+    baseline_samples = 2 if args.quick else 4
     if args.skip_baseline:
-        baseline = None
-        vs = ours / 0.04  # documented CUDA-reference estimate; see header
+        baseline, vs = None, None
     else:
-        baseline = baseline_iters_per_sec(
-            problem, max_samples=2 if args.quick else 4)
-        vs = ours / baseline
+        baseline = baseline_iters_per_sec(problem,
+                                          max_samples=baseline_samples)
+        vs = round(ours / baseline, 2)
 
     extra = {
         'baseline_same_hw_iters_per_sec':
             None if baseline is None else round(baseline, 4),
+        'baseline_note': 'reference-structured per-sample dense algorithm '
+                         'on the same chip, extrapolated from '
+                         f'{baseline_samples} sequentially-fitted samples '
+                         f'to the full batch of {B}'
+                         if baseline is not None else
+                         'skipped (--skip-baseline); no vs_baseline claim',
+        # exterior_refresh_every=4 speed knob WITH its accuracy label:
+        # final fit quality at K=1 (reference semantics) vs K=4.
         'fast_mode_refresh4_iters_per_sec': round(fast, 4),
+        'fit_quality_refresh1': quality_k1,
+        'fit_quality_refresh4': quality_k4,
         'batch': B, 'num_verts': nv,
-        'note': 'baseline = reference-structured per-sample dense '
-                'algorithm on the same chip',
     }
     if not args.quick:
-        extra['hmr_smpl_inference_imgs_per_sec_fp32'] = round(
-            hmr_inference_imgs_per_sec(dtype='float32'), 2)
-        extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(
-            hmr_inference_imgs_per_sec(dtype='bfloat16'), 2)
-        gp = winding_gpairs_per_sec(problem['model'])
+        # each extra metric is independent: a transient backend failure in
+        # one must not lose the others
+        def try_metric(fn):
+            try:
+                return fn()
+            except Exception as e:  # pragma: no cover
+                print(f'bench extra failed: {e!r}', file=sys.stderr)
+                return None
+
+        step = try_metric(lambda: train_step_imgs_per_sec(
+            B=B, num_smplify_iters=10))
+        if step is not None:
+            extra[f'train_step_imgs_per_sec_b{B}'] = round(step[0], 3)
+            extra['train_step_breakdown'] = step[1]
+        fp32 = try_metric(lambda: hmr_inference_imgs_per_sec(
+            dtype='float32'))
+        if fp32 is not None:
+            extra['hmr_smpl_inference_imgs_per_sec_fp32'] = round(fp32, 2)
+        bf16 = try_metric(lambda: hmr_inference_imgs_per_sec(
+            dtype='bfloat16'))
+        if bf16 is not None:
+            extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(bf16, 2)
+        gp = try_metric(lambda: winding_gpairs_per_sec(problem['model']))
         if gp is not None:
             extra['winding_gpairs_per_sec'] = round(gp, 2)
             extra['winding_gflops_per_sec'] = round(gp * 75, 1)
@@ -294,7 +425,7 @@ def main():
         'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
         'value': round(ours, 4),
         'unit': 'iters/s',
-        'vs_baseline': round(vs, 2),
+        'vs_baseline': vs,
         'extra': extra,
     }
     print(json.dumps(result))

@@ -163,7 +163,7 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         return (_masked_mean(per_sample, valid_fit),
                 {'hd_truncated_frac': jnp.asarray(0.0)})
 
-    def single(v, ext, d_min, in_c):
+    def select(v, ext, d_min, in_c):
         # Candidate HD points: sampled from a face ANY of whose 3 vertices
         # is in contact or interior (loss.py:278-281).
         vert_active = in_c | (~ext)  # (V,)
@@ -179,37 +179,53 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         ids = hd.vert_ids[top_idx]                    # (K, k)
         w_b = hd.bary[top_idx]                        # (K, k)
         hd_pts = jnp.einsum('kj,kjd->kd', w_b, v[ids])  # (K, 3)
+        return hd_pts, top_idx, sel_valid, trunc
 
+    hd_pts, top_idx, sel_valid, trunc = jax.vmap(select)(
+        verts, exterior, v2v_min, in_contact)
+    hd_stop = jax.lax.stop_gradient(hd_pts)           # (B, K, 3)
+    verts_stop = jax.lax.stop_gradient(verts)
+
+    # In/ex test for all samples' HD points in ONE winding evaluation,
+    # offset slightly along source-face normals (loss.py:294-297). On TPU
+    # this is the same Pallas kernel as the global test.
+    normals = contact_ops.batch_face_normals(verts_stop[:, assets.faces])
+    offset_pts = hd_stop + 0.001 * jnp.take_along_axis(
+        normals, hd.geovec[top_idx][..., None], axis=1)
+    from tuch_tpu.ops import contact_pallas as cpk
+    if cpk.pallas_available():
+        wn = cpk.winding_numbers_pallas(offset_pts, verts_stop,
+                                        assets.faces)
+    else:
+        wn = contact_ops.winding_numbers_same_tris(offset_pts, verts_stop,
+                                                   assets.faces)
+    hd_ext = wn <= 0.99                               # (B, K)
+
+    def energy(pts, pts_stop, t_idx, sel, ext_k):
         # Masked nearest HD point (geodesic mask via representative verts).
-        rep = hd.geovec_verts[top_idx]                # (K,)
+        rep = hd.geovec_verts[t_idx]                  # (K,)
         geo = assets.geomask[rep][:, rep]             # (K, K)
-        geo = geo & sel_valid[None, :] & sel_valid[:, None]
-        hd_stop = jax.lax.stop_gradient(hd_pts)
-        d2 = (jnp.sum(hd_stop ** 2, -1)[:, None]
-              + jnp.sum(hd_stop ** 2, -1)[None, :]
-              - 2.0 * hd_stop @ hd_stop.T)
+        geo = geo & sel[None, :] & sel[:, None]
+        # HIGHEST precision: the default TPU f32 matmul truncates operands
+        # to bf16, which destroys near-contact distances in the Gram form
+        # (see ops/contact_pallas.py masked-min docstring).
+        d2 = (jnp.sum(pts_stop ** 2, -1)[:, None]
+              + jnp.sum(pts_stop ** 2, -1)[None, :]
+              - 2.0 * jnp.matmul(pts_stop, pts_stop.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         d2 = jnp.where(geo, d2, jnp.inf)
         argmin = jnp.argmin(d2, axis=1)
         has_neighbor = jnp.isfinite(jnp.min(d2, axis=1))
-        d_hd = jnp.linalg.norm(hd_pts - hd_pts[argmin], axis=-1)
+        d_hd = jnp.linalg.norm(pts - pts[argmin], axis=-1)
 
-        # In/ex test for HD points, offset slightly along face normals
-        # (loss.py:294-297).
-        tris = jax.lax.stop_gradient(v)[assets.faces]  # (F, 3, 3)
-        normals = contact_ops.batch_face_normals(tris[None])[0]
-        offset_pts = hd_stop + 0.001 * normals[hd.geovec[top_idx]]
-        wn = contact_ops.winding_numbers_same_tris(
-            offset_pts[None], jax.lax.stop_gradient(v)[None], assets.faces)
-        hd_ext = (wn[0] <= 0.99)
-
-        w_valid = (sel_valid & has_neighbor).astype(v.dtype)
+        w_valid = (sel & has_neighbor).astype(pts.dtype)
         pull = 0.005 * jnp.tanh(d_hd / 0.005) ** 2
         push = 1.0 * jnp.tanh(d_hd / 0.04) ** 2
-        return ((pull * hd_ext * w_valid).sum()
-                + (push * (~hd_ext) * w_valid).sum()), trunc
+        return ((pull * ext_k * w_valid).sum()
+                + (push * (~ext_k) * w_valid).sum())
 
-    per_sample, trunc = jax.vmap(single)(verts, exterior, v2v_min,
-                                         in_contact)
+    per_sample = jax.vmap(energy)(hd_pts, hd_stop, top_idx, sel_valid,
+                                  hd_ext)
     return (_masked_mean(per_sample, valid_fit),
             {'hd_truncated_frac': _masked_mean(trunc, valid_fit)})
 

@@ -123,8 +123,8 @@ def _winding_kernel(pts_ref, tri_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
 def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
-                           faces: jnp.ndarray, tq: int = 512,
-                           tf: int = 2048,
+                           faces: jnp.ndarray, tq: int = 1024,
+                           tf: int = 1024,
                            interpret: bool = False) -> jnp.ndarray:
     """Generalized winding numbers on TPU via the tiled VMEM kernel.
 
@@ -137,7 +137,7 @@ def winding_numbers_pallas(points: jnp.ndarray, verts: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
 def winding_numbers_pallas_tris(points: jnp.ndarray, tris: jnp.ndarray,
-                                tq: int = 512, tf: int = 2048,
+                                tq: int = 1024, tf: int = 1024,
                                 interpret: bool = False) -> jnp.ndarray:
     """Winding numbers from per-batch explicit triangles.
 
@@ -292,8 +292,8 @@ def _affine_triangle_constants(tris: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=('tq', 'tf', 'interpret'))
 def winding_numbers_pallas_affine(points: jnp.ndarray, verts: jnp.ndarray,
-                                  faces: jnp.ndarray, tq: int = 512,
-                                  tf: int = 2048,
+                                  faces: jnp.ndarray, tq: int = 256,
+                                  tf: int = 1024,
                                   interpret: bool = False) -> jnp.ndarray:
     """Winding numbers via the MXU-offloaded affine-form kernel.
 
