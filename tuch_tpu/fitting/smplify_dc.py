@@ -44,6 +44,10 @@ class SMPLifyConfig(NamedTuple):
     # (stop-gradient) neighbor sets for speed -- the winding test
     # dominates the iteration cost and drifts slowly under 1e-2 steps.
     exterior_refresh_every: int = 1
+    # Evaluate the winding in/out test only at the K vertices nearest a
+    # geodesically-distant neighbor (0 == reference semantics: all V).
+    # Opt-in approximation; see losses/smplify.py contact_neighbors.
+    contact_candidate_k: int = 0
     # Optional ('dp', 'cp') jax.sharding.Mesh: cp > 1 shards the contact
     # quadratics' triangle/column axes (parallel/contact_parallel.py).
     # Static (closed over at trace time), never a traced argument.
@@ -151,13 +155,19 @@ def smplify_dc(model: SMPLModel,
             out = smpl_forward(model, betas1, p['body_pose'],
                                p['global_orient'])
             return L.contact_neighbors(out.vertices, assets,
-                                       mesh=config.mesh)
+                                       mesh=config.mesh,
+                                       candidate_k=config.contact_candidate_k)
 
         opt = optax.adam(config.step_size, b1=0.9, b2=0.999)
         body_params = {'body_pose': body_pose0,
                        'global_orient': global_orient1}
         opt_state = opt.init(body_params)
-        neighbors0 = compute_neighbors(body_params)
+        # Carry-init placeholder only: iteration 0 always recomputes
+        # (it % K == 0), so materializing real neighbors here would waste
+        # a full winding + masked-min pass per smplify call.
+        neighbors0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(compute_neighbors, body_params))
 
         def step(carry, it):
             p, s, neighbors = carry
