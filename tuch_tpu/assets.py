@@ -173,27 +173,27 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
     np.clip(cos, -1.0, 1.0, out=cos)
     geodists = np.arccos(cos, out=cos)
 
-    # Segments: latitude bands (closed by their boundary rings).
-    seg_names = ['band0', 'band1', 'band2']
+    # Segments: narrow latitude-band patches (closed by boundary rings).
+    # The reference's segments are small local patches -- crooks of elbows/
+    # knees, armpits (tuch/utils/segmentation.py:40, TUCH paper sec. 3) of a
+    # few hundred vertices each, NOT whole-body regions. Size the synthetic
+    # stand-ins to that scale (9 patches x ~3 rings ~ 250 verts) so synthetic
+    # benchmarks pay a realistic segment-test cost; whole-body bands would
+    # inflate the fused winding problem ~25x over the real assets.
     n_lat = rings - 2
     ring_ids = lambda i: np.arange(1 + i * segs, 1 + (i + 1) * segs)
-    bounds = np.linspace(0, n_lat, len(seg_names) + 1).astype(int)
+    n_seg = min(9, max(1, n_lat // 4))
+    spacing = n_lat // n_seg
+    width = max(1, min(3, spacing - 2))
     segments = {}
-    for si, name in enumerate(seg_names):
-        lo, hi = bounds[si], bounds[si + 1]
-        vidx = np.concatenate([ring_ids(i) for i in range(lo, hi)]) \
-            if hi > lo else np.array([], dtype=np.int64)
-        if si == 0:
-            vidx = np.concatenate([[0], vidx])
-        if si == len(seg_names) - 1:
-            vidx = np.concatenate([vidx, [V - 1]])
-        bands = []
-        if lo > 0:
-            bands.append(ring_ids(lo - 1).tolist())
-        if hi < n_lat:
-            bands.append(ring_ids(hi).tolist())
-        segments[name] = {'vidx': vidx.astype(np.int64),
-                         'bands_verts': bands}
+    for si in range(n_seg):
+        lo = si * spacing + (spacing - width) // 2
+        hi = lo + width
+        lo, hi = max(lo, 1), min(hi, n_lat - 1)  # keep boundary rings valid
+        vidx = np.concatenate([ring_ids(i) for i in range(lo, hi)])
+        bands = [ring_ids(lo - 1).tolist(), ring_ids(hi).tolist()]
+        segments[f'patch{si}'] = {'vidx': vidx.astype(np.int64),
+                                  'bands_verts': bands}
 
     # Contact regions: longitude sectors (geometrically contiguous patches).
     n_regions = 8
