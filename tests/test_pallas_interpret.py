@@ -41,9 +41,16 @@ def test_masked_min_kernel_interpret_matches_bruteforce(rng):
     d2, arg = np.asarray(d2), np.asarray(arg)
     full = ((verts[:, :, None] - verts[:, None]) ** 2).sum(-1)
     full[:, ~geo] = np.inf
-    np.testing.assert_allclose(d2, full.min(2), atol=1e-5)
+    # The packed-key kernel orders distances with 10 mantissa bits (see
+    # _masked_min_kernel): near-exact ties may pick a neighbor within
+    # 2^-10 relative of the true minimum; the reported d2 is the exact
+    # distance to the picked neighbor.
+    np.testing.assert_allclose(d2, full.min(2), rtol=2 ** -10, atol=1e-7)
     got = np.take_along_axis(full, arg[..., None], 2)[..., 0]
-    np.testing.assert_allclose(got, full.min(2), atol=1e-5)
+    np.testing.assert_allclose(got, d2, rtol=1e-6)
+    np.testing.assert_allclose(got, full.min(2), rtol=2 ** -10, atol=1e-7)
+    # argmin must never point at a geodesically-banned vertex
+    assert geo[np.arange(V)[None].repeat(B, 0), arg].all()
 
 
 def test_atan2_polynomial_accuracy(rng):

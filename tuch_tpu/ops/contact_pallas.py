@@ -340,13 +340,34 @@ def winding_numbers_pallas_affine(points: jnp.ndarray, verts: jnp.ndarray,
     return out[:, 0, :Q] * INV_4PI
 
 
-def _masked_min_kernel(x_ref, y_ref, mask_ref, best_ref, arg_ref):
-    """One (TN, TM) tile of the geodesic-masked nearest-vertex search.
+# The masked-min kernel packs (distance, index) into ONE int32 key so the
+# whole search is a single min-reduction pass (no separate argmin pass, no
+# two-output select accumulation). Low IDX_BITS mantissa bits of the fp32
+# squared distance are replaced by the column index: bitcasting a
+# non-negative fp32 to int32 preserves order, so min over keys = min over
+# (quantized d2, index). Quantization keeps 23-IDX_BITS = 10 mantissa bits
+# (2^-10 relative) -- only near-exact ties can pick a different argmin, and
+# the returned squared distance is recomputed EXACTLY from the argmin
+# gather afterwards. Measured 65.5 -> ~50 ms at B=64, V=6890 on v5e.
+_IDX_BITS = 13            # supports vertex sets up to 8192 points
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_BANNED = np.float32(3e38)  # masked-pair sentinel (finite: inf bitcast
+                            # patterns would also be order-correct, but a
+                            # finite value keeps the key arithmetic clear)
 
-    x_ref: (1, 3, TN) row points; y_ref: (1, 3, TM) column points (same
-    vertex set); mask_ref: (TN, TM) uint8 allowed-pairs tile; outputs
-    (1, 1, TN) fp32 best squared distance and (1, 1, TN) int32 argmin,
-    accumulated over the column grid dimension.
+
+def _masked_min_kernel(x_ref, y_ref, maskt_ref, key_ref):
+    """One (TM, TN) tile of the packed-key masked nearest-vertex search.
+
+    The tile is TRANSPOSED relative to the output: queries run along lanes
+    (axis 1), the searched vertex set along sublanes (axis 0), so the
+    min-reduction is over sublanes -- measured ~1.1x faster than reducing
+    across lanes on v5e (41.5 vs 46.7 ms at B=64, V=6890).
+
+    x_ref: (1, 3, TN) query points; y_ref: (1, 3, TM) searched points
+    (same vertex set); maskt_ref: (TM, TN) uint8 tile of the TRANSPOSED
+    allowed-pairs mask (allowed[searched, query]); output (1, 1, TN) int32
+    packed keys, min-accumulated over the searched grid dim.
 
     Distances are direct coordinate differences on the VPU: exact in fp32,
     unlike an MXU Gram-matrix pass (which truncates operands to bf16) or
@@ -356,55 +377,62 @@ def _masked_min_kernel(x_ref, y_ref, mask_ref, best_ref, arg_ref):
     mi = pl.program_id(2)
     tm = y_ref.shape[2]
 
-    x = x_ref[0]          # (3, TN)
-    y = y_ref[0]          # (3, TM)
-    dx = x[0, :][:, None] - y[0, :][None, :]
-    dy = x[1, :][:, None] - y[1, :][None, :]
-    dz = x[2, :][:, None] - y[2, :][None, :]
-    d2 = dx * dx + dy * dy + dz * dz
+    x = x_ref[0]          # (3, TN) queries -> lanes
+    y = y_ref[0]          # (3, TM) searched -> sublanes
+    dx = y[0, :][:, None] - x[0, :][None, :]
+    dy = y[1, :][:, None] - x[1, :][None, :]
+    dz = y[2, :][:, None] - x[2, :][None, :]
+    d2 = dx * dx + dy * dy + dz * dz                   # (TM, TN)
     # int8 vector compares don't lower on TPU; widen to int32 first
-    allowed = mask_ref[...].astype(jnp.int32) > 0
-    d2 = jnp.where(allowed, d2, jnp.inf)
-
-    blk_min = jnp.min(d2, axis=1)                      # (TN,)
-    local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    blk_arg = local_arg + mi * tm
+    allowed = maskt_ref[...].astype(jnp.int32) > 0
+    d2 = jnp.where(allowed, d2, _BANNED)
+    bits = pltpu.bitcast(d2, jnp.int32)
+    row = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + mi * tm
+    key = jax.lax.bitwise_or(
+        jax.lax.bitwise_and(bits, jnp.int32(~_IDX_MASK)), row)
+    blk = jnp.min(key, axis=0)[None, None, :]
 
     @pl.when(mi == 0)
     def _():
-        best_ref[...] = blk_min[None, None, :]
-        arg_ref[...] = blk_arg[None, None, :]
+        key_ref[...] = blk
 
     @pl.when(mi > 0)
     def _():
-        prev = best_ref[...]
-        prev_arg = arg_ref[...]
-        upd = blk_min[None, None, :] < prev
-        best_ref[...] = jnp.where(upd, blk_min[None, None, :], prev)
-        arg_ref[...] = jnp.where(upd, blk_arg[None, None, :], prev_arg)
+        key_ref[...] = jnp.minimum(key_ref[...], blk)
 
 
 @functools.partial(jax.jit, static_argnames=('tn', 'tm', 'interpret'))
 def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
-                           tn: int = 1024, tm: int = 1024,
+                           tn: int = 2048, tm: int = 512,
                            interpret: bool = False):
     """Geodesic-masked nearest-vertex distances without the (V, V) matrix.
 
     verts: (B, V, 3); geomask_u8: (V, V) uint8 (1 = allowed).
     Returns (min_d2 (B, V) fp32 [inf where no allowed pair], argmin int32).
+    min_d2 is recomputed exactly from the argmin gather (the kernel's
+    internal distance ordering is quantized to 10 mantissa bits, see
+    _masked_min_kernel; ties within 2^-10 relative may pick either index).
     """
     B, V, _ = verts.shape
     pad = (-V) % int(np.lcm(tn, tm))
+    Vp = V + pad
+    if Vp > (1 << _IDX_BITS):
+        raise ValueError(
+            f'masked_min_dist_pallas supports vertex sets up to '
+            f'{1 << _IDX_BITS} points (got padded {Vp}); raise _IDX_BITS '
+            f'or use ops.contact.masked_min_dist')
     vp = jnp.pad(verts, ((0, 0), (0, pad), (0, 0)),
                  constant_values=_FAR) if pad else verts
-    Vp = V + pad
     coords = jnp.swapaxes(vp, 1, 2)                    # (B, 3, Vp)
-    mask = geomask_u8
+    # The kernel wants allowed[searched, query]; transpose here so callers
+    # keep the natural allowed[query, searched] convention (the geodesic
+    # mask is symmetric, so this is a no-op in value for the SMPL mask).
+    mask = jnp.swapaxes(geomask_u8, 0, 1)
     if pad:
-        mask = jnp.pad(mask, ((0, pad), (0, pad)))     # padded cols banned
+        mask = jnp.pad(mask, ((0, pad), (0, pad)))     # padded rows banned
 
     grid = (B, Vp // tn, Vp // tm)
-    best, arg = pl.pallas_call(
+    key = pl.pallas_call(
         _masked_min_kernel,
         grid=grid,
         in_specs=[
@@ -412,27 +440,30 @@ def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tm), lambda b, ni, mi: (b, 0, mi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tm), lambda b, ni, mi: (ni, mi),
+            pl.BlockSpec((tm, tn), lambda b, ni, mi: (mi, ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, tn), lambda b, ni, mi: (b, 0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda b, ni, mi: (b, 0, ni),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((B, 1, Vp), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, Vp), jnp.int32)),
+        out_specs=pl.BlockSpec((1, 1, tn), lambda b, ni, mi: (b, 0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Vp), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         cost_estimate=pl.CostEstimate(
-            flops=8 * B * Vp * Vp,
+            flops=12 * B * Vp * Vp,
             bytes_accessed=B * Vp * Vp + 4 * B * Vp * 3 * 2,
             transcendentals=0),
         interpret=interpret,
     )(coords, coords, mask)
-    arg = jnp.minimum(arg[:, 0], V - 1)
-    return best[:, 0, :V], arg[:, :V]
+    key = key[:, 0, :V]
+    arg = jnp.minimum(jax.lax.bitwise_and(key, _IDX_MASK), V - 1)
+    # Exact distances via gather; banned-everything rows (keys at the
+    # _BANNED sentinel) report inf like the streamed fallback.
+    nearest = jnp.take_along_axis(verts, arg[..., None], axis=1)
+    d2 = jnp.sum((verts - nearest) ** 2, axis=-1)
+    banned_key = jnp.int32(
+        np.float32(_BANNED).view(np.int32) & ~_IDX_MASK)
+    d2 = jnp.where(key >= banned_key, jnp.inf, d2)
+    return d2, arg
 
 
 def pallas_available() -> bool:
