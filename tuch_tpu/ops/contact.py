@@ -181,8 +181,11 @@ def masked_min_dist(verts: jnp.ndarray, geomask: jnp.ndarray,
     verts: (B, V, 3); geomask: (V, V) bool (True = pair allowed).
     Returns (min_d2 (B, V), argmin (B, V) int32). Replaces the
     "v2v[:, ~geomask] = inf; min" pattern (tuch/train/loss.py:269-270)
-    without materializing v2v: scans over column blocks, using the Gram
-    trick inside each block so the matmul rides the MXU.
+    without materializing v2v: scans over column blocks. Distances are
+    direct coordinate differences, NOT the reference's Gram form
+    xx + yy - 2xy (tuch/utils/contact.py:36-42): on TPU the matmul
+    truncates operands to bf16 and the subtraction cancels exactly at the
+    near-contact distances this op exists to resolve.
     """
 
     def single(v):  # (V, 3)
@@ -192,14 +195,11 @@ def masked_min_dist(verts: jnp.ndarray, geomask: jnp.ndarray,
             [v, jnp.full((pad, 3), 1e8, v.dtype)], axis=0) if pad else v
         nb = vp.shape[0] // block_m
         col_blocks = vp.reshape(nb, block_m, 3)
-        xx = jnp.sum(v * v, axis=-1)  # (V,)
 
         def body(carry, xs):
             best_d2, best_idx = carry
             blk_idx, cols = xs  # cols: (block_m, 3)
-            yy = jnp.sum(cols * cols, axis=-1)
-            xy = v @ cols.T  # (V, block_m) -- MXU
-            d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+            d2 = jnp.sum((v[:, None, :] - cols[None, :, :]) ** 2, axis=-1)
             col_ids = blk_idx * block_m + jnp.arange(block_m)
             # Gather this block's columns of the (static) geodesic mask.
             mask_blk = jnp.take(geomask, jnp.minimum(col_ids, V - 1), axis=1)

@@ -108,15 +108,15 @@ def _local_masked_min(rows, cols, mask, col_ids, block_m: int):
     id_blocks = col_ids.reshape(nb, block_m)
 
     def single(r, c):  # r: (V, 3); c: (Vc', 3)
-        xx = jnp.sum(r * r, axis=-1)
         c_blocks = c.reshape(nb, block_m, 3)
 
         def body(carry, xs):
             best_d2, best_idx = carry
             cb, mb, ib = xs
-            yy = jnp.sum(cb * cb, axis=-1)
-            xy = r @ cb.T
-            d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+            # direct differences, NOT the Gram form xx + yy - 2xy: the
+            # matmul truncates to bf16 on TPU and the subtraction cancels
+            # at near-contact distances (see ops/contact.masked_min_dist)
+            d2 = jnp.sum((r[:, None, :] - cb[None, :, :]) ** 2, axis=-1)
             d2 = jnp.where(mb, d2, jnp.inf)
             blk_min = jnp.min(d2, axis=1)
             blk_arg = ib[jnp.argmin(d2, axis=1)]
