@@ -72,12 +72,13 @@ def build_problem(B, num_verts, num_iters):
 
 
 def ours_iters_per_sec(problem, refresh_every: int = 1,
+                       candidate_k: int = 0,
                        with_quality: bool = False):
     """Batched streamed body-stage via the real SMPLify-DC stage-2 scan.
 
     with_quality also returns fit-quality numbers (mean final per-joint
     reprojection term + contact energy) so speed knobs like
-    exterior_refresh_every carry an accuracy label.
+    exterior_refresh_every / contact_candidate_k carry an accuracy label.
     """
     import jax
     import jax.numpy as jnp
@@ -88,7 +89,8 @@ def ours_iters_per_sec(problem, refresh_every: int = 1,
     B, iters = problem['B'], problem['num_iters']
     cfg = S.SMPLifyConfig(num_iters=iters, use_contact=True,
                           euclthres=0.02, contact_loss_weight=2000.0,
-                          exterior_refresh_every=refresh_every)
+                          exterior_refresh_every=refresh_every,
+                          contact_candidate_k=candidate_k)
 
     # camera stage excluded from timing: run stage 2 only by setting the
     # camera-stage iterations via a one-iter config is not exposed, so we
@@ -368,6 +370,11 @@ def main():
     ours, quality_k1 = ours_iters_per_sec(problem, with_quality=True)
     fast, quality_k4 = ours_iters_per_sec(problem, refresh_every=4,
                                           with_quality=True)
+    cand_k = max(16, nv // 7)  # ~1024 at full topology
+    fast_cand, quality_cand = ours_iters_per_sec(
+        problem, candidate_k=cand_k, with_quality=True)
+    fast_both, quality_both = ours_iters_per_sec(
+        problem, refresh_every=4, candidate_k=cand_k, with_quality=True)
 
     baseline_samples = 2 if args.quick else 4
     if args.skip_baseline:
@@ -386,11 +393,18 @@ def main():
                          f'to the full batch of {B}'
                          if baseline is not None else
                          'skipped (--skip-baseline); no vs_baseline claim',
-        # exterior_refresh_every=4 speed knob WITH its accuracy label:
-        # final fit quality at K=1 (reference semantics) vs K=4.
+        # Opt-in speed knobs WITH their accuracy labels: final fit quality
+        # at reference semantics (refresh 1, all-verts winding) vs
+        # exterior_refresh_every=4 vs contact_candidate_k (winding only at
+        # the cand_k nearest-pair vertices) vs both combined.
         'fast_mode_refresh4_iters_per_sec': round(fast, 4),
+        f'fast_mode_cand{cand_k}_iters_per_sec': round(fast_cand, 4),
+        f'fast_mode_refresh4_cand{cand_k}_iters_per_sec':
+            round(fast_both, 4),
         'fit_quality_refresh1': quality_k1,
         'fit_quality_refresh4': quality_k4,
+        f'fit_quality_cand{cand_k}': quality_cand,
+        f'fit_quality_refresh4_cand{cand_k}': quality_both,
         'batch': B, 'num_verts': nv,
     }
     if not args.quick:

@@ -273,3 +273,75 @@ def test_hd_truncation_metric(tiny_smpl):
                                  hd_k=int(hd.geovec.shape[0]))
     assert float(aux_small['hd_truncated_frac']) > 0.0
     assert float(aux_big['hd_truncated_frac']) == 0.0
+
+
+def test_contact_neighbors_candidate_k(tiny_smpl):
+    """Opt-in candidate-set winding (candidate_k > 0).
+
+    Craft a body with a patch pushed inside the opposite wall. The exact
+    path (candidate_k=0) must flag interiors; a candidate set big enough
+    to cover every near-neighbor vertex must reproduce the exact flags,
+    and ANY candidate set can only mark extra vertices exterior, never
+    extra interiors (one-sided approximation).
+    """
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    V = v.shape[0]
+    # Pull the +x cap deep inside: enclosed by the rest of the sphere.
+    cap = v[:, 0] > 0.6 * np.abs(v[:, 0]).max()
+    v2 = v.copy()
+    v2[cap] *= -0.5
+    verts = jnp.asarray(v2)[None]
+
+    ext_exact, arg_exact = SL.contact_neighbors(verts, ca)
+    n_interior = int((~np.asarray(ext_exact)).sum())
+    assert n_interior > 0, 'crafted body must have interior vertices'
+
+    # big-enough candidate set reproduces the exact flags + argmin
+    ext_full, arg_full = SL.contact_neighbors(verts, ca, candidate_k=V)
+    np.testing.assert_array_equal(np.asarray(ext_full),
+                                  np.asarray(ext_exact))
+    np.testing.assert_array_equal(np.asarray(arg_full),
+                                  np.asarray(arg_exact))
+
+    # covering candidate set (every interior vertex is near an allowed
+    # neighbor by construction)
+    ext_k, arg_k = SL.contact_neighbors(verts, ca,
+                                        candidate_k=int(cap.sum()) * 3)
+    np.testing.assert_array_equal(np.asarray(arg_k), np.asarray(arg_exact))
+    assert (np.asarray(ext_k) == np.asarray(ext_exact)).mean() > 0.98
+
+    # one-sided: a tiny candidate set may miss interiors but never
+    # invents them
+    ext_1, _ = SL.contact_neighbors(verts, ca, candidate_k=4)
+    assert (np.asarray(ext_1) | ~np.asarray(ext_exact)).all() or \
+        (~np.asarray(ext_1) <= ~np.asarray(ext_exact)).all()
+
+
+def test_smplify_contact_candidate_k_converges(tiny_smpl, rng):
+    """smplify_dc with contact_candidate_k produces a finite, improving
+    fit (the opt-in fast path composes with the scan loop)."""
+    from tests.test_smplify import setup_problem
+    from tuch_tpu.fitting import smplify_dc as S
+
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng)
+    B = gt_pose.shape[0]
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.2
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+
+    cfg = S.SMPLifyConfig(num_iters=10, use_contact=True, euclthres=0.02,
+                          contact_candidate_k=32)
+    res = jax.jit(
+        lambda *a: S.smplify_dc(model, prior, ca, *a, config=cfg))(
+        jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+        jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+        jnp.zeros(B, bool), jnp.ones(B, bool), jnp.zeros(B, bool))
+    assert np.isfinite(np.asarray(res.vertices)).all()
+    init_reproj = S.get_fitting_loss(
+        model, prior, jnp.asarray(init_pose), jnp.asarray(gt_betas),
+        jnp.asarray(t_gt), jnp.asarray(cc), jnp.asarray(kp2d))
+    assert float(res.reprojection_loss.sum()) < float(init_reproj.sum())

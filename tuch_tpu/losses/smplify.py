@@ -119,7 +119,8 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
 
 
 def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
-                      block_f: int = 2048, mesh=None):
+                      block_f: int = 2048, mesh=None,
+                      candidate_k: int = 0):
     """The stop-gradient half: winding in/out flags + masked argmin.
 
     Separated from contact_distances so in-the-loop fitters can refresh
@@ -131,6 +132,16 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
     the quadratic triangle/column axes are sharded over 'cp' via shard_map
     (parallel/contact_parallel.py) so a 2D mesh uses both axes during the
     dominant computation; cp == 1 / None uses the single-device kernels.
+
+    candidate_k: 0 (reference semantics, tuch/smplify/losses.py:79-93)
+    evaluates the winding test at ALL V vertices. K > 0 is an opt-in
+    approximation: only the K vertices closest to a geodesically-distant
+    neighbor (by the masked nearest-vertex distance, which is computed
+    anyway) are tested; the rest are assumed exterior. Interior vertices
+    are near another surface patch by construction of self-contact, so on
+    body-scale penetrations the flags agree; a vertex can only be
+    misclassified if it is interior yet farther from every allowed vertex
+    than all K candidates. Cuts the dominant V x F winding cost to K x F.
     """
     from tuch_tpu.ops import contact_pallas as cpk
 
@@ -139,15 +150,34 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
         from tuch_tpu.parallel.contact_parallel import contact_neighbors_cp
         wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
                                           assets.geomask, mesh)
-    elif cpk.pallas_available():
-        wn = cpk.winding_numbers_pallas(vd, vd, assets.faces)
-        _, argmin = cpk.masked_min_dist_pallas(
-            vd, assets.geomask.astype(jnp.uint8))
+        exterior = wn <= 0.99
     else:
-        wn = contact_ops.winding_numbers_same_tris(vd, vd, assets.faces,
-                                                   block_f=block_f)
-        _, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
-    exterior = wn <= 0.99
+        use_pallas = cpk.pallas_available()
+        if use_pallas:
+            min_d2, argmin = cpk.masked_min_dist_pallas(
+                vd, assets.geomask.astype(jnp.uint8))
+        else:
+            min_d2, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
+        B, V, _ = vd.shape
+        K = int(candidate_k)
+        if K and K < V:
+            _, cand = jax.lax.top_k(-min_d2, K)          # (B, K)
+            qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
+            if use_pallas:
+                wn_c = cpk.winding_numbers_pallas(qpts, vd, assets.faces)
+            else:
+                wn_c = contact_ops.winding_numbers_same_tris(
+                    qpts, vd, assets.faces, block_f=block_f)
+            interior = jnp.zeros((B, V), bool).at[
+                jnp.arange(B)[:, None], cand].set(wn_c > 0.99)
+            exterior = ~interior
+        else:
+            if use_pallas:
+                wn = cpk.winding_numbers_pallas(vd, vd, assets.faces)
+            else:
+                wn = contact_ops.winding_numbers_same_tris(
+                    vd, vd, assets.faces, block_f=block_f)
+            exterior = wn <= 0.99
     if assets.segment_tables is not None:
         exterior = forgive_segment_interiors(assets.segment_tables, vd,
                                              exterior)
@@ -186,7 +216,8 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
                          focal_length=5000.0, sigma=100.0,
                          pose_prior_weight=1.0,
                          contact_loss_weight=1000.0,
-                         cached_neighbors=None, mesh=None):
+                         cached_neighbors=None, mesh=None,
+                         candidate_k=0):
     """Stage-2 loss with self-contact, scalar.
 
     Fully-batched equivalent of tuch/smplify/losses.py:34-123:
@@ -202,7 +233,8 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
     pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
 
     if cached_neighbors is None:
-        exterior, argmin = contact_neighbors(verts, assets, mesh=mesh)
+        exterior, argmin = contact_neighbors(verts, assets, mesh=mesh,
+                                             candidate_k=candidate_k)
     else:
         exterior, argmin = cached_neighbors
     v2v_min = contact_distances(verts, argmin)

@@ -96,6 +96,7 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         contact_loss_weight=options.contact_in_the_loop_loss_weight,
         exterior_refresh_every=getattr(options,
                                        'smplify_exterior_refresh', 1),
+        contact_candidate_k=getattr(options, 'smplify_candidate_k', 0),
         mesh=mesh)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
