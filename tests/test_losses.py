@@ -345,3 +345,18 @@ def test_smplify_contact_candidate_k_converges(tiny_smpl, rng):
         model, prior, jnp.asarray(init_pose), jnp.asarray(gt_betas),
         jnp.asarray(t_gt), jnp.asarray(cc), jnp.asarray(kp2d))
     assert float(res.reprojection_loss.sum()) < float(init_reproj.sum())
+
+
+def test_regressor_contact_loss_candidate_k(tiny_smpl):
+    """contact_loss with a covering candidate set equals the exact path."""
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    cap = v[:, 0] > 0.6 * np.abs(v[:, 0]).max()
+    v[cap] *= -0.5
+    verts = jnp.asarray(v)[None]
+    V = v.shape[0]
+    exact, _ = RL.contact_loss(verts, ca, jnp.array([True]), euclthres=0.02)
+    full, _ = RL.contact_loss(verts, ca, jnp.array([True]), euclthres=0.02,
+                              candidate_k=V)
+    np.testing.assert_allclose(float(full), float(exact), rtol=1e-6)

@@ -132,9 +132,10 @@ class TrainConfig:
     # refresh the in-loop winding test every K smplify iterations
     # (1 = reference semantics; >1 trades neighbor staleness for speed)
     smplify_exterior_refresh: int = 1
-    # winding test only at the K vertices nearest an allowed neighbor
+    # winding test only at the K vertices nearest an allowed neighbor,
+    # applied to BOTH the in-loop smplify and the regressor contact loss
     # (0 = reference semantics: test all V; see losses/smplify.py)
-    smplify_candidate_k: int = 0
+    contact_candidate_k: int = 0
 
     # TPU-native additions
     grad_clip: float = 0.0           # global-norm gradient clip (0 = off)

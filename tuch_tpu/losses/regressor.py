@@ -137,7 +137,7 @@ def make_hd_assets_compact(vert_ids: np.ndarray, bary: np.ndarray,
 def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
                  valid_fit: jnp.ndarray, euclthres: float,
                  hd: Optional[HDAssets] = None, hd_k: int = 1024,
-                 mesh=None):
+                 mesh=None, candidate_k: int = 0):
     """TUCH self-contact push/pull loss, batched (tuch/train/loss.py:240-317).
 
     Returns (loss, aux) where loss is the mean over valid_fit samples of
@@ -152,7 +152,7 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
     fraction so the truncation is never silent.
     """
     exterior, v2v_min, in_contact = self_contact_terms(
-        verts, assets, euclthres, mesh=mesh)
+        verts, assets, euclthres, mesh=mesh, candidate_k=candidate_k)
     if hd is not None:
         hd_k = min(hd_k, int(hd.geovec.shape[0]))
 
@@ -239,14 +239,14 @@ def regressor_loss(weights: LossWeights,
                    contact_assets: Optional[ContactAssets] = None,
                    euclthres: float = 0.02,
                    hd: Optional[HDAssets] = None, hd_k: int = 1024,
-                   mesh=None):
+                   mesh=None, candidate_k: int = 0):
     """Full training loss (tuch/train/loss.py:94-168). Returns (total, dict)."""
     loss_contact = jnp.asarray(0.0)
     contact_aux = {}
     if weights.contact > 0 and contact_assets is not None:
         loss_contact, contact_aux = contact_loss(
             pred_vertices, contact_assets, valid_fit, euclthres, hd=hd,
-            hd_k=hd_k, mesh=mesh)
+            hd_k=hd_k, mesh=mesh, candidate_k=candidate_k)
 
     l_pose, l_betas = smpl_param_loss(pred_rotmat, pred_betas, opt_pose,
                                       opt_betas, valid_fit, valid_fit_shape)

@@ -96,7 +96,8 @@ class ContactAssets(NamedTuple):
 
 
 def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
-                       euclthres: float, block_f: int = 2048, mesh=None):
+                       euclthres: float, block_f: int = 2048, mesh=None,
+                       candidate_k: int = 0):
     """Shared machinery: exterior flags + geodesic-masked nearest distances.
 
     verts: (B, V, 3). Returns (exterior (B, V) bool [stop-grad],
@@ -112,7 +113,8 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     (tuch_tpu/ops/contact_pallas.py); elsewhere the streamed jnp versions.
     """
     exterior, argmin = contact_neighbors(verts, assets, block_f=block_f,
-                                         mesh=mesh)
+                                         mesh=mesh,
+                                         candidate_k=candidate_k)
     v2v_min = contact_distances(verts, argmin)
     in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
     return exterior, v2v_min, in_contact

@@ -96,7 +96,7 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         contact_loss_weight=options.contact_in_the_loop_loss_weight,
         exterior_refresh_every=getattr(options,
                                        'smplify_exterior_refresh', 1),
-        contact_candidate_k=getattr(options, 'smplify_candidate_k', 0),
+        contact_candidate_k=getattr(options, 'contact_candidate_k', 0),
         mesh=mesh)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -225,7 +225,8 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 has_pose_3d, pred_out.vertices, o_verts, pred_camera,
                 valid_fit, valid_fit, contact_assets=assets.contact,
                 euclthres=constants.EUCLTHRES, hd=assets.hd,
-                hd_k=getattr(options, 'hd_k', 1024), mesh=mesh)
+                hd_k=getattr(options, 'hd_k', 1024), mesh=mesh,
+                candidate_k=getattr(options, 'contact_candidate_k', 0))
 
             aux = dict(
                 loss_dict=loss_dict,
