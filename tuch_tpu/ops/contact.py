@@ -30,6 +30,11 @@ def pairwise_dist2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
     x: (B, N, 3), y: (B, M, 3) -> (B, N, M). Same quantity as
     tuch/utils/contact.py:23-47 (squared=True).
+
+    NOTE: kept reference-faithful for tests and the bench baseline only.
+    Production paths do NOT use this form: on TPU the default matmul
+    truncates operands to bf16 and the subtraction cancels at near-contact
+    distances (see masked_min_dist / ops/contact_pallas.py).
     """
     xx = jnp.sum(x * x, axis=-1)
     yy = jnp.sum(y * y, axis=-1)
@@ -265,9 +270,15 @@ def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b
         def single(v):
             va = v[ia]  # (R, 3)
             vb = v[ib]
+            # HIGHEST precision: the default TPU f32 matmul truncates
+            # operands to bf16 (~0.4% relative on the Gram products --
+            # 100x the d2 signal at contact distances). With exact fp32
+            # products the residual cancellation is ~1e-7 absolute,
+            # negligible against the 2e-2 contact threshold.
             d2 = (jnp.sum(va * va, -1)[:, None]
                   + jnp.sum(vb * vb, -1)[None, :]
-                  - 2.0 * va @ vb.T)
+                  - 2.0 * jnp.matmul(va, vb.T,
+                                     precision=jax.lax.Precision.HIGHEST))
             d2 = jnp.where(ma[:, None] & mb[None, :], d2, jnp.inf)
             return jnp.min(d2)
 
