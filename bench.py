@@ -152,12 +152,13 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
 
     runtime = rt.build_runtime(synthetic=True, img_res=224)  # full topology
 
-    def build(run_smplify, contact_w):
+    def build(run_smplify, contact_w, refresh=1, cand_k=0):
         options = cfgmod.TrainConfig(
             name='bench_step', log_dir=tempfile.mkdtemp(), batch_size=B,
             img_res=224, run_smplify=run_smplify,
             num_smplify_iters=num_smplify_iters,
             use_contact_in_the_loop=run_smplify,
+            smplify_exterior_refresh=refresh, contact_candidate_k=cand_k,
             contact_loss_weight=contact_w, num_workers=0)
         options.finalize()
         optimizer = optax.adam(options.lr)
@@ -209,11 +210,16 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
     t_full = timed(*build(True, 1e-5))          # smplify + contact loss
     t_no_smplify = timed(*build(False, 1e-5))   # HMR + contact loss only
     t_bare = timed(*build(False, 0.0))          # HMR fwd/bwd only
+    # the production-fast configuration: both opt-in knobs on (quality
+    # labels for them live in fit_quality_* of the main metric)
+    t_fast = timed(*build(True, 1e-5, refresh=4, cand_k=1024))
     breakdown = {
         'full_step_s': round(t_full, 4),
         'smplify_in_loop_s': round(t_full - t_no_smplify, 4),
         'regressor_contact_loss_s': round(t_no_smplify - t_bare, 4),
         'hmr_fwd_bwd_s': round(t_bare, 4),
+        'fast_mode_step_s_refresh4_cand1024': round(t_fast, 4),
+        'fast_mode_imgs_per_sec': round(B / t_fast, 3),
         'num_smplify_iters': num_smplify_iters,
     }
     return B / t_full, breakdown

@@ -298,25 +298,30 @@ def test_contact_neighbors_candidate_k(tiny_smpl):
     n_interior = int((~np.asarray(ext_exact)).sum())
     assert n_interior > 0, 'crafted body must have interior vertices'
 
-    # big-enough candidate set reproduces the exact flags + argmin
-    ext_full, arg_full = SL.contact_neighbors(verts, ca, candidate_k=V)
+    # near-covering candidate set THROUGH the candidate machinery
+    # (K = V-1 passes the K < V guard, unlike K = V which would be the
+    # exact path again); the one uncovered vertex is the farthest from
+    # any allowed neighbor, which is exterior on this body.
+    ext_full, _ = SL.contact_neighbors(verts, ca, candidate_k=V - 1)
     np.testing.assert_array_equal(np.asarray(ext_full),
                                   np.asarray(ext_exact))
-    np.testing.assert_array_equal(np.asarray(arg_full),
-                                  np.asarray(arg_exact))
 
-    # covering candidate set (every interior vertex is near an allowed
-    # neighbor by construction)
-    ext_k, arg_k = SL.contact_neighbors(verts, ca,
-                                        candidate_k=int(cap.sum()) * 3)
-    np.testing.assert_array_equal(np.asarray(arg_k), np.asarray(arg_exact))
-    assert (np.asarray(ext_k) == np.asarray(ext_exact)).mean() > 0.98
+    # covering candidate set: compute the exact rank needed so every
+    # interior vertex is among the K nearest-pair candidates, then the
+    # candidate flags must match the exact flags exactly
+    min_d2, _ = contact_ops.masked_min_dist(verts, ca.geomask)
+    order = np.argsort(np.asarray(min_d2)[0])          # ascending distance
+    rank = np.empty(V, np.int64)
+    rank[order] = np.arange(V)
+    k_cover = int(rank[~np.asarray(ext_exact)[0]].max()) + 1
+    assert k_cover < V  # the crafted body must make this non-trivial
+    ext_k, _ = SL.contact_neighbors(verts, ca, candidate_k=k_cover)
+    np.testing.assert_array_equal(np.asarray(ext_k), np.asarray(ext_exact))
 
-    # one-sided: a tiny candidate set may miss interiors but never
-    # invents them
+    # one-sided: a tiny candidate set may miss interiors (mark them
+    # exterior) but never invents interiors the exact path doesn't have
     ext_1, _ = SL.contact_neighbors(verts, ca, candidate_k=4)
-    assert (np.asarray(ext_1) | ~np.asarray(ext_exact)).all() or \
-        (~np.asarray(ext_1) <= ~np.asarray(ext_exact)).all()
+    assert (~np.asarray(ext_1) <= ~np.asarray(ext_exact)).all()
 
 
 def test_smplify_contact_candidate_k_converges(tiny_smpl, rng):

@@ -131,3 +131,16 @@ def test_maybe_initialize_distributed_noop(monkeypatch):
     from tuch_tpu.parallel.multihost import maybe_initialize_distributed
     monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
     assert maybe_initialize_distributed() is False
+
+
+def test_contact_neighbors_cp_candidate_k(mesh8):
+    """candidate_k on a cp>1 mesh: flags/argmin match the single-device
+    candidate path (the knob must not be silently ignored when sharded)."""
+    from tuch_tpu.losses.smplify import contact_neighbors
+
+    model, extras, ca, verts = _tiny_contact_problem()
+    K = 32
+    ext_ref, arg_ref = contact_neighbors(verts, ca, candidate_k=K)
+    ext_cp, arg_cp = contact_neighbors(verts, ca, mesh=mesh8, candidate_k=K)
+    np.testing.assert_array_equal(np.asarray(ext_cp), np.asarray(ext_ref))
+    np.testing.assert_array_equal(np.asarray(arg_cp), np.asarray(arg_ref))

@@ -95,3 +95,39 @@ def test_smplify_trajectory_collection(tiny_smpl, rng):
         jnp.zeros(B, bool), config=cfg)
     V = model.v_template.shape[0]
     assert res.trajectory.shape == (3, B, V, 3)
+
+
+def test_smplify_exterior_refresh_gt1_converges(tiny_smpl, rng):
+    """exterior_refresh_every > 1: iteration 0 must compute real neighbors
+    (the scan carry is initialized with a zeros placeholder that is only
+    safe while `it % K == 0` recomputes at it=0); the fit must stay finite
+    and improve, and must be close to the K=1 fit."""
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng)
+    B = gt_pose.shape[0]
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.2
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+    args = (jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+            jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+            jnp.zeros(B, bool), jnp.ones(B, bool), jnp.zeros(B, bool))
+
+    def fit(refresh):
+        cfg = S.SMPLifyConfig(num_iters=9, use_contact=True, euclthres=0.02,
+                              exterior_refresh_every=refresh)
+        return jax.jit(lambda *a: S.smplify_dc(model, prior, ca, *a,
+                                               config=cfg))(*args)
+
+    res1 = fit(1)
+    res3 = fit(3)
+    assert np.isfinite(np.asarray(res3.vertices)).all()
+    init_reproj = S.get_fitting_loss(
+        model, prior, jnp.asarray(init_pose), jnp.asarray(gt_betas),
+        jnp.asarray(t_gt), jnp.asarray(cc), jnp.asarray(kp2d))
+    assert float(res3.reprojection_loss.sum()) < float(init_reproj.sum())
+    # a poisoned first K-1 iterations (all-interior placeholder) would
+    # push the pose far from the K=1 trajectory; with correct refresh the
+    # two fits stay close after 9 small Adam steps
+    d = float(jnp.abs(res3.pose - res1.pose).max())
+    assert d < 0.05, f'refresh-K fit diverged from K=1 fit: {d}'

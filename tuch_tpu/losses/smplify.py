@@ -149,10 +149,23 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
 
     vd = jax.lax.stop_gradient(verts)
     if mesh is not None and mesh.shape.get('cp', 1) > 1:
-        from tuch_tpu.parallel.contact_parallel import contact_neighbors_cp
-        wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
-                                          assets.geomask, mesh)
-        exterior = wn <= 0.99
+        from tuch_tpu.parallel.contact_parallel import (
+            contact_neighbors_cp, masked_min_cp, winding_numbers_cp)
+        B, V, _ = vd.shape
+        K = int(candidate_k)
+        if K and K < V:
+            min_d2, argmin = masked_min_cp(vd, assets.geomask, mesh)
+            _, cand = jax.lax.top_k(-min_d2, K)          # (B, K)
+            qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
+            wn_c = winding_numbers_cp(qpts, vd, np.asarray(assets.faces),
+                                      mesh)
+            interior = jnp.zeros((B, V), bool).at[
+                jnp.arange(B)[:, None], cand].set(wn_c > 0.99)
+            exterior = ~interior
+        else:
+            wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
+                                              assets.geomask, mesh)
+            exterior = wn <= 0.99
     else:
         use_pallas = cpk.pallas_available()
         if use_pallas:
@@ -166,7 +179,12 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
             _, cand = jax.lax.top_k(-min_d2, K)          # (B, K)
             qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
             if use_pallas:
-                wn_c = cpk.winding_numbers_pallas(qpts, vd, assets.faces)
+                # shrink the query tile to the candidate count, else the
+                # kernel pads K back up to the 1024 default and the
+                # promised K x F scaling is lost for small K
+                tq = min(1024, -(-K // 128) * 128)
+                wn_c = cpk.winding_numbers_pallas(qpts, vd, assets.faces,
+                                                  tq=tq)
             else:
                 wn_c = contact_ops.winding_numbers_same_tris(
                     qpts, vd, assets.faces, block_f=block_f)

@@ -367,6 +367,15 @@ def winding_numbers_pallas_affine(points: jnp.ndarray, verts: jnp.ndarray,
 # (2^-10 relative) -- only near-exact ties can pick a different argmin, and
 # the returned squared distance is recomputed EXACTLY from the argmin
 # gather afterwards. Measured 65.5 -> ~50 ms at B=64, V=6890 on v5e.
+#
+# Why the tie window is not a semantics divergence: at contact distances
+# (d2 ~ 4e-4, the euclthres=0.02 regime the losses act in) the window is
+# 2^-10 * 4e-4 ~ 4e-7 ABSOLUTE on d2 -- smaller than the reference
+# implementation's own argmin noise: it selects through Gram-form fp32
+# distances (xx + yy - 2xy, tuch/utils/contact.py:36-42) whose
+# cancellation error is ~1e-6 absolute. Any neighbor this kernel can
+# mis-tie, the reference's argmin can too. Validated against fp64 brute
+# force on posed bodies: worst selected-distance delta 7.3e-4 relative.
 _IDX_BITS = 13            # supports vertex sets up to 8192 points
 _IDX_MASK = (1 << _IDX_BITS) - 1
 _BANNED = np.float32(3e38)  # masked-pair sentinel (finite: inf bitcast
@@ -435,10 +444,11 @@ def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
     pad = (-V) % int(np.lcm(tn, tm))
     Vp = V + pad
     if Vp > (1 << _IDX_BITS):
-        raise ValueError(
-            f'masked_min_dist_pallas supports vertex sets up to '
-            f'{1 << _IDX_BITS} points (got padded {Vp}); raise _IDX_BITS '
-            f'or use ops.contact.masked_min_dist')
+        # Key packing runs out of index bits (e.g. SMPL-X at 10475 verts):
+        # fall back to the streamed direct-difference search, which is
+        # exact and jit-compatible on any backend.
+        from tuch_tpu.ops.contact import masked_min_dist
+        return masked_min_dist(verts, geomask_u8.astype(bool))
     vp = jnp.pad(verts, ((0, 0), (0, pad), (0, 0)),
                  constant_values=_FAR) if pad else verts
     coords = jnp.swapaxes(vp, 1, 2)                    # (B, 3, Vp)

@@ -23,7 +23,10 @@ adds ~100 ms at B=64. The in/out *decisions* match the exact kernel
 (0 flips at M>=8 on posed-body tests) but pointwise winding values near
 unselected cluster boundaries are approximate. Revisit when a fused
 far-field (matmul-form dipole) or larger-mesh workloads change the
-trade-off; until then `exterior_refresh_every` is the better speed knob.
+trade-off; until then `exterior_refresh_every` and `contact_candidate_k`
+(losses/smplify.py contact_neighbors -- restricts the QUERY axis instead
+of approximating the triangle axis, ~2.5x measured with near-identical
+fit quality) are the better speed knobs.
 """
 
 from functools import partial

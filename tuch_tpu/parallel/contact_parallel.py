@@ -140,6 +140,41 @@ def _local_masked_min(rows, cols, mask, col_ids, block_m: int):
     return jax.vmap(single)(rows, cols)
 
 
+def masked_min_cp(verts: jnp.ndarray, geomask: jnp.ndarray, mesh: Mesh,
+                  block_m: int = 1024):
+    """Geodesic-masked nearest-vertex search, column axis sharded over 'cp'.
+
+    verts: (B, V, 3), B divisible by mesh dp. Returns (min_d2 (B, V),
+    argmin (B, V) int32) == ops.contact.masked_min_dist, with each device
+    searching its column shard and pmin('cp') merging.
+    """
+    ncp = mesh.shape['cp']
+    V = verts.shape[1]
+    cpad = (-V) % ncp
+    col_ids = np.arange(V + cpad, dtype=np.int32)
+    col_ids[V:] = 2 ** 30
+    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, cpad)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P('dp'), P(None, 'cp'), P('cp')),
+             out_specs=(P('dp'), P('dp')))
+    def run(vts, geo_shard, id_shard):
+        i_cp = jax.lax.axis_index('cp')
+        vc = (V + cpad) // ncp
+        vts_pad = jnp.pad(vts, ((0, 0), (0, cpad), (0, 0)),
+                          constant_values=1e8)
+        cols = jax.lax.dynamic_slice_in_dim(vts_pad, i_cp * vc, vc, axis=1)
+        loc_d2, loc_arg = _local_masked_min(vts, cols, geo_shard, id_shard,
+                                            block_m)
+        best_d2 = jax.lax.pmin(loc_d2, 'cp')
+        cand = jnp.where(loc_d2 == best_d2, loc_arg, 2 ** 30)
+        best_arg = jax.lax.pmin(cand, 'cp')
+        return best_d2, best_arg
+
+    min_d2, argmin = run(verts, geo_p, jnp.asarray(col_ids))
+    return min_d2, jnp.minimum(argmin, V - 1).astype(jnp.int32)
+
+
 def contact_neighbors_cp(verts: jnp.ndarray, faces: np.ndarray,
                          geomask: jnp.ndarray, mesh: Mesh,
                          block_f: int = 1024, block_m: int = 1024):
