@@ -124,3 +124,110 @@ def test_reconstruction_error_matches_reference(rng):
         jnp.asarray(s1), jnp.asarray(s2), reduction=None))
     # fp32 SVD vs the reference's fp64 numpy SVD: ~1e-4 absolute noise
     np.testing.assert_allclose(ours, np.asarray(ref), atol=5e-4)
+
+
+def _ref_prior(tmp_path, gmm):
+    """Write our synthetic GMM in the reference pkl schema and load it
+    through the reference's MaxMixturePrior (prior.py:36-167)."""
+    import pickle
+    import sys
+    (tmp_path / 'prior').mkdir(exist_ok=True)
+    with open(tmp_path / 'prior' / 'gmm_08.pkl', 'wb') as f:
+        pickle.dump({'means': gmm['means'], 'covars': gmm['covs'],
+                     'weights': gmm['weights']}, f)
+    ref_prior_mod = _load('../smplify/prior')
+    return ref_prior_mod.MaxMixturePrior(prior_folder=str(tmp_path / 'prior'),
+                                         num_gaussians=8)
+
+
+def test_gmm_prior_matches_reference(rng, tmp_path):
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.losses.prior import create_gmm_prior, gmm_prior_nll
+
+    gmm = assets_mod.synthetic_gmm_prior(dim=69)
+    ref_prior = _ref_prior(tmp_path, gmm)
+    ours_prior = create_gmm_prior(gmm)
+
+    pose = (rng.randn(5, 69) * 0.3).astype(np.float32)
+    ref = ref_prior(torch.tensor(pose), torch.zeros(5, 10)).numpy()
+    ours = np.asarray(gmm_prior_nll(ours_prior, jnp.asarray(pose)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_contact_fitting_loss_matches_reference(rng, tmp_path):
+    """The ENTIRE stage-2 contact fitting loss (robust reprojection + GMM
+    prior + winding-driven push/pull + region-to-region) vs the actual
+    reference implementation on identical inputs (segments=None both
+    sides; reference per-sample loop vs our batched/masked version)."""
+    import functools
+    import sys
+    sys.path.insert(0, '/root/reference')
+    try:
+        from tuch.smplify import losses as ref_losses
+    finally:
+        sys.path.pop(0)
+    # the reference calls batch_pairwise_dist with its use_cuda=True
+    # default (losses.py:76); force the CPU path without editing the
+    # read-only reference
+    ref_losses.batch_pairwise_dist = functools.partial(
+        ref_contact.batch_pairwise_dist, use_cuda=False)
+
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.losses import smplify as SL
+    from tuch_tpu.losses.prior import create_gmm_prior
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    from tuch_tpu.ops import contact as contact_ops
+
+    model, extras = assets_mod.synthetic_smpl(num_verts=170, seed=0)
+    B = 3
+    pose = (rng.randn(B, 72) * 0.2).astype(np.float32)
+    betas = np.zeros((B, 10), np.float32)
+    out = smpl_forward_pose72(model, jnp.asarray(betas), jnp.asarray(pose))
+    verts = np.asarray(out.vertices)
+    joints = np.asarray(out.joints)
+    V = verts.shape[1]
+    faces = np.asarray(model.faces)
+    geomask = np.asarray(extras.geodists > 0.3)
+
+    cam_t = np.tile(np.array([[0, 0, 20.0]], np.float32), (B, 1))
+    cc = np.full((B, 2), 112.0, np.float32)
+    j2d = (rng.rand(B, 49, 2) * 224).astype(np.float32)
+    conf = rng.rand(B, 49).astype(np.float32)
+    classes = extras.contact_classes
+    P = len(classes)
+    gt_contact = (rng.rand(B, P) > 0.5).astype(np.float32)
+    ignore = np.array([False, True, False])
+    has_dc = np.array([True, False, True])
+
+    gmm = assets_mod.synthetic_gmm_prior(dim=69)
+    ref_prior = _ref_prior(tmp_path, gmm)
+
+    cdict = {'classes': classes,
+             'csig': {k: torch.tensor(np.asarray(v), dtype=torch.long)
+                      for k, v in extras.contact_csig.items()}}
+    ref = ref_losses.contact_fitting_loss(
+        torch.tensor(pose[:, 3:]), torch.tensor(pose[:, :3]),
+        None, None,
+        torch.tensor(betas), torch.tensor(joints),
+        torch.tensor(geomask), 0.02,
+        torch.tensor(cam_t), torch.tensor(cc),
+        torch.tensor(j2d), torch.tensor(conf), ref_prior,
+        cdict, [torch.tensor(gt_contact)],
+        torch.tensor(ignore), torch.tensor(has_dc),
+        torch.tensor(verts), face_tensor=[torch.tensor(faces.astype(np.int64))],
+        device='cpu', contact_loss_weight=2000.0).item()
+
+    ia, ib, ma, mb = contact_ops.build_region_pairs(
+        classes, extras.contact_csig)
+    ca = SL.ContactAssets(
+        geomask=jnp.asarray(geomask), faces=jnp.asarray(faces),
+        region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
+        region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb))
+    ours = float(SL.contact_fitting_loss(
+        jnp.asarray(pose[:, 3:]), jnp.asarray(pose[:, :3]),
+        jnp.asarray(betas), jnp.asarray(joints), jnp.asarray(verts),
+        jnp.asarray(cam_t), jnp.asarray(cc), jnp.asarray(j2d),
+        jnp.asarray(conf), create_gmm_prior(gmm), ca,
+        jnp.asarray(gt_contact), jnp.asarray(ignore), jnp.asarray(has_dc),
+        euclthres=0.02, contact_loss_weight=2000.0))
+    np.testing.assert_allclose(ours, ref, rtol=5e-4)
