@@ -365,3 +365,43 @@ def test_regressor_contact_loss_candidate_k(tiny_smpl):
     full, _ = RL.contact_loss(verts, ca, jnp.array([True]), euclthres=0.02,
                               candidate_k=V)
     np.testing.assert_allclose(float(full), float(exact), rtol=1e-6)
+
+
+def test_candidate_prev_exterior_sticky_and_priority(tiny_smpl):
+    """prev_exterior semantics: known interiors are retested first; with
+    too few candidate slots, untested vertices KEEP their previous flag
+    instead of being forced exterior."""
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    v = np.asarray(model.v_template).copy()
+    V = v.shape[0]
+    cap = v[:, 0] > 0.6 * np.abs(v[:, 0]).max()
+    v2 = v.copy()
+    v2[cap] *= -0.5
+    verts = jnp.asarray(v2)[None]
+
+    ext_exact, _ = SL.contact_neighbors(verts, ca)
+    n_int = int((~np.asarray(ext_exact)).sum())
+    assert n_int >= 2
+
+    # priority: with prev = exact flags and K = n_int slots, the candidate
+    # set is exactly the known interiors -> retested -> flags stay exact
+    # (everything untested keeps its exact prev flag)
+    ext_p, _ = SL.contact_neighbors(verts, ca, candidate_k=n_int,
+                                    prev_exterior=ext_exact)
+    np.testing.assert_array_equal(np.asarray(ext_p), np.asarray(ext_exact))
+
+    # stickiness: artificially mark two exterior-in-truth vertices as
+    # previously interior; with K=1 only one gets retested (and cleared),
+    # the other stays interior by stickiness
+    ext_np = np.asarray(ext_exact)
+    fake = np.where(ext_np[0])[0][:2]
+    prev = ext_np.copy()
+    prev[0, fake] = False
+    ext_s, _ = SL.contact_neighbors(verts, ca, candidate_k=1,
+                                    prev_exterior=jnp.asarray(prev))
+    ext_s = np.asarray(ext_s)
+    # exactly one of the two fakes was retested and cleared
+    assert int(ext_s[0, fake].sum()) == 1
+    # no prev-None behavior leak: nothing else became interior
+    assert (~ext_s[0]).sum() <= (~prev[0]).sum()

@@ -151,27 +151,45 @@ def smplify_dc(model: SMPLModel,
                 contact_loss_weight=config.contact_loss_weight,
                 cached_neighbors=neighbors, mesh=config.mesh)
 
-        def compute_neighbors(p):
+        Kc = max(0, int(config.contact_candidate_k))
+
+        def compute_neighbors(p, prev_exterior=None, candidate_k=Kc):
             out = smpl_forward(model, betas1, p['body_pose'],
                                p['global_orient'])
             return L.contact_neighbors(out.vertices, assets,
                                        mesh=config.mesh,
-                                       candidate_k=config.contact_candidate_k)
+                                       candidate_k=candidate_k,
+                                       prev_exterior=prev_exterior)
 
         opt = optax.adam(config.step_size, b1=0.9, b2=0.999)
         body_params = {'body_pose': body_pose0,
                        'global_orient': global_orient1}
         opt_state = opt.init(body_params)
-        # Carry-init placeholder only: iteration 0 always recomputes
-        # (it % K == 0), so materializing real neighbors here would waste
-        # a full winding + masked-min pass per smplify call.
-        neighbors0 = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(compute_neighbors, body_params))
+        if Kc:
+            # Candidate mode seeds with one EXACT pass: distance-ranked
+            # candidate selection cannot see interiors from geodesically-
+            # local folds (losses/smplify.py contact_neighbors docstring),
+            # so iteration 0 gets full-test flags and refreshes retest
+            # known interiors first (sticky prev_exterior threading).
+            neighbors0 = compute_neighbors(body_params, candidate_k=0)
+        else:
+            # Carry-init placeholder only: iteration 0 always recomputes
+            # (it % K == 0), so materializing real neighbors here would
+            # waste a full winding + masked-min pass per smplify call.
+            neighbors0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(compute_neighbors, body_params))
 
         def step(carry, it):
             p, s, neighbors = carry
-            if K > 1:
+            prev_ext = neighbors[0] if Kc else None
+            if Kc:
+                # iteration 0 uses the exact seed already in the carry
+                neighbors = jax.lax.cond(
+                    (it % K == 0) & (it > 0),
+                    lambda q: compute_neighbors(q, prev_ext),
+                    lambda _: neighbors, p)
+            elif K > 1:
                 neighbors = jax.lax.cond(
                     it % K == 0, compute_neighbors, lambda _: neighbors, p)
             else:

@@ -120,9 +120,34 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     return exterior, v2v_min, in_contact
 
 
+def _candidate_flags(vd, min_d2, prev_exterior, cand, wn_c):
+    """Combine candidate winding results with previous flags.
+
+    tested vertices get their fresh in/out result; untested vertices KEEP
+    their previous flag (sticky) when prev_exterior is given, else default
+    to exterior. Stickiness matters for interiors that candidate selection
+    cannot see (see contact_neighbors docstring).
+    """
+    B, V, _ = vd.shape
+    bidx = jnp.arange(B)[:, None]
+    tested = jnp.zeros((B, V), bool).at[bidx, cand].set(True)
+    int_scatter = jnp.zeros((B, V), bool).at[bidx, cand].set(wn_c > 0.99)
+    if prev_exterior is None:
+        return ~int_scatter
+    prev_int = ~prev_exterior
+    return ~jnp.where(tested, int_scatter, prev_int)
+
+
+def _candidate_key(min_d2, prev_exterior):
+    """Selection key: previously-interior vertices first, then nearest."""
+    if prev_exterior is None:
+        return -min_d2
+    return -jnp.where(prev_exterior, min_d2, -jnp.inf)
+
+
 def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
                       block_f: int = 2048, mesh=None,
-                      candidate_k: int = 0):
+                      candidate_k: int = 0, prev_exterior=None):
     """The stop-gradient half: winding in/out flags + masked argmin.
 
     Separated from contact_distances so in-the-loop fitters can refresh
@@ -137,31 +162,44 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
 
     candidate_k: 0 (reference semantics, tuch/smplify/losses.py:79-93)
     evaluates the winding test at ALL V vertices. K > 0 is an opt-in
-    approximation: only the K vertices closest to a geodesically-distant
-    neighbor (by the masked nearest-vertex distance, which is computed
-    anyway) are tested; the rest are assumed exterior. Interior vertices
-    are near another surface patch by construction of self-contact, so on
-    body-scale penetrations the flags agree; a vertex can only be
-    misclassified if it is interior yet farther from every allowed vertex
-    than all K candidates. Cuts the dominant V x F winding cost to K x F.
+    approximation: only K candidate vertices are tested, cutting the
+    dominant V x F winding cost to K x F. Candidates are, in priority
+    order, (a) vertices flagged interior by `prev_exterior` (so a known
+    interior is ALWAYS retested and its flag stays current) and (b) the
+    vertices closest to a geodesically-distant neighbor (by the masked
+    nearest-vertex distance, computed anyway). Untested vertices keep
+    their previous flag when `prev_exterior` is given (sticky), else
+    default to exterior.
+
+    The distance heuristic alone can NOT see interiors created by
+    geodesically-local folds: their surroundings are banned by the
+    geodesic mask, so their masked nearest-vertex distance is large
+    (measured on randomly-crumpled synthetic bodies: most interiors
+    missed). In-the-loop fitters therefore seed with one EXACT pass
+    (fitting/smplify_dc.py computes iteration-0 neighbors with
+    candidate_k=0) and thread prev_exterior through refreshes -- interiors
+    present at init stay tracked; only interiors newly created mid-fit
+    by a local fold (rare under 1e-2 Adam steps) can be missed until the
+    next exact pass. Single-shot callers (the regressor contact loss)
+    have no prev_exterior and get the plain distance heuristic.
     """
     from tuch_tpu.ops import contact_pallas as cpk
 
     vd = jax.lax.stop_gradient(verts)
+    B, V, _ = vd.shape
+    K = max(0, int(candidate_k))
     if mesh is not None and mesh.shape.get('cp', 1) > 1:
         from tuch_tpu.parallel.contact_parallel import (
             contact_neighbors_cp, masked_min_cp, winding_numbers_cp)
-        B, V, _ = vd.shape
-        K = int(candidate_k)
         if K and K < V:
             min_d2, argmin = masked_min_cp(vd, assets.geomask, mesh)
-            _, cand = jax.lax.top_k(-min_d2, K)          # (B, K)
+            _, cand = jax.lax.top_k(_candidate_key(min_d2, prev_exterior),
+                                    K)                   # (B, K)
             qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
             wn_c = winding_numbers_cp(qpts, vd, np.asarray(assets.faces),
                                       mesh)
-            interior = jnp.zeros((B, V), bool).at[
-                jnp.arange(B)[:, None], cand].set(wn_c > 0.99)
-            exterior = ~interior
+            exterior = _candidate_flags(vd, min_d2, prev_exterior, cand,
+                                        wn_c)
         else:
             wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
                                               assets.geomask, mesh)
@@ -173,10 +211,9 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
                 vd, assets.geomask.astype(jnp.uint8))
         else:
             min_d2, argmin = contact_ops.masked_min_dist(vd, assets.geomask)
-        B, V, _ = vd.shape
-        K = int(candidate_k)
         if K and K < V:
-            _, cand = jax.lax.top_k(-min_d2, K)          # (B, K)
+            _, cand = jax.lax.top_k(_candidate_key(min_d2, prev_exterior),
+                                    K)                   # (B, K)
             qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
             if use_pallas:
                 # shrink the query tile to the candidate count, else the
@@ -188,9 +225,8 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
             else:
                 wn_c = contact_ops.winding_numbers_same_tris(
                     qpts, vd, assets.faces, block_f=block_f)
-            interior = jnp.zeros((B, V), bool).at[
-                jnp.arange(B)[:, None], cand].set(wn_c > 0.99)
-            exterior = ~interior
+            exterior = _candidate_flags(vd, min_d2, prev_exterior, cand,
+                                        wn_c)
         else:
             if use_pallas:
                 wn = cpk.winding_numbers_pallas(vd, vd, assets.faces)
