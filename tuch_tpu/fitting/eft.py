@@ -36,7 +36,7 @@ def make_eft_fit_fn(hmr_model, smpl: SMPLModel, assets: ContactAssets,
                     weights: EFTWeights, max_steps: int = 50,
                     early_stop_loss: float = 200.0,
                     min_steps: int = 20, lr: float = 1e-6,
-                    img_res: int = 224):
+                    img_res: int = 224, candidate_k: int = 0):
     """Build the jitted single-image fit function."""
     opt = optax.adam(lr)
 
@@ -49,7 +49,8 @@ def make_eft_fit_fn(hmr_model, smpl: SMPLModel, assets: ContactAssets,
         cam_t = weak_perspective_to_translation(
             cam, constants.FOCAL_LENGTH, img_res)
         total, _ = eft_loss(out.joints, betas, out.vertices, cam_t, kp,
-                            contact, assets, weights, img_res=img_res)
+                            contact, assets, weights, img_res=img_res,
+                            candidate_k=candidate_k)
         return total, (new_state['batch_stats'], rotmat, betas)
 
     @jax.jit
@@ -106,7 +107,8 @@ class EFTFitter:
             hmr_model, smpl, assets, weights,
             max_steps=getattr(options, 'max_steps', 50),
             lr=getattr(options, 'lr', 1e-6),
-            img_res=getattr(options, 'img_res', 224))
+            img_res=getattr(options, 'img_res', 224),
+            candidate_k=getattr(options, 'contact_candidate_k', 0))
 
         sidx = getattr(options, 'sidx', 0)
         cbs = getattr(options, 'cbs', None) or len(dataset)

@@ -26,7 +26,7 @@ def eft_loss(joints: jnp.ndarray, betas: jnp.ndarray,
              gt_keypoints: jnp.ndarray, gt_contact: jnp.ndarray,
              assets: ContactAssets, weights: EFTWeights,
              focal_length: float = 5000.0, img_res: int = 224,
-             euclthres: float = 0.02):
+             euclthres: float = 0.02, candidate_k: int = 0):
     """Per-exemplar loss (eft/loss.py:73-118). Returns (total, dict).
 
     gt_keypoints: (B, 49, 3) normalized [-1, 1] + conf; de-normalized to
@@ -45,8 +45,12 @@ def eft_loss(joints: jnp.ndarray, betas: jnp.ndarray,
 
     loss_contact = jnp.asarray(0.0)
     if weights.contact > 0:
+        # candidate_k > 0 is the opt-in winding approximation (no
+        # prev_exterior threading here: each EFT step is single-shot, so
+        # this is the plain distance heuristic -- see contact_neighbors)
         exterior, v2v_min, _ = self_contact_terms(vertices, assets,
-                                                  euclthres)
+                                                  euclthres,
+                                                  candidate_k=candidate_k)
         # mean (not sum) over in/out sets per sample (eft/loss.py:162-166)
         extf = exterior.astype(v2v_min.dtype)
         n_ext = jnp.maximum(extf.sum(-1), 1.0)
