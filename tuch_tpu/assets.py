@@ -235,19 +235,29 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
 # Real asset loaders
 # ---------------------------------------------------------------------------
 
+class _Ch:
+    """Stand-in for chumpy.ch.Ch: holds the wrapped array in .x.
+
+    Module-level (not function-local) so instances round-trip through
+    pickle by global reference; __module__/__qualname__ are rebound to
+    'chumpy.ch'/'Ch' by _install_chumpy_stub.
+    """
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self.__dict__.get('x'))
+        return arr.astype(dtype) if dtype is not None else arr
+
+
 def _install_chumpy_stub():
     """Allow unpickling chumpy-saved SMPL pkls without chumpy installed."""
     if 'chumpy' in sys.modules:
         return
 
-    class _Ch:
-        def __setstate__(self, state):
-            self.__dict__.update(state if isinstance(state, dict) else {})
-
-        def __array__(self, dtype=None):
-            arr = np.asarray(self.__dict__.get('x'))
-            return arr.astype(dtype) if dtype is not None else arr
-
+    _Ch.__module__ = 'chumpy.ch'
+    _Ch.__qualname__ = 'Ch'
     chumpy = types.ModuleType('chumpy')
     chumpy.Ch = _Ch
     ch_mod = types.ModuleType('chumpy.ch')

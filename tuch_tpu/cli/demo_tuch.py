@@ -67,7 +67,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--checkpoint', default=None,
                    help='HMR checkpoint (.pt torch or .npz pytree)')
-    p.add_argument('--img', type=str, required=True)
+    p.add_argument('--img', type=str, default=None,
+                   help='input image or directory (optional with '
+                        '--synthetic: a deterministic test image is used)')
     p.add_argument('--bbox', type=str, default=None)
     p.add_argument('--openpose', type=str, default=None)
     p.add_argument('--outfile', type=str, default=None)
@@ -75,6 +77,20 @@ def main(argv=None):
     p.add_argument('--synthetic', action='store_true',
                    help='synthetic body/weights (no assets required)')
     args = p.parse_args(argv)
+    if args.img is None:
+        if not args.synthetic:
+            p.error('--img is required unless --synthetic is set')
+        # Hermetic mode: write a deterministic 224x224 test image so the
+        # full read->crop->normalize->render path still runs end to end.
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:224, 0:224].astype(np.float32) / 223.0
+        img = np.stack([yy, xx, 0.5 * (yy + xx)], axis=-1)
+        img = (255 * np.clip(img + 0.05 * rng.randn(224, 224, 3), 0, 1)
+               ).astype(np.uint8)
+        os.makedirs(args.outdir, exist_ok=True)
+        args.img = osp.join(args.outdir, 'synthetic_input.png')
+        Image.fromarray(img).save(args.img)
 
     import jax
     import jax.numpy as jnp
