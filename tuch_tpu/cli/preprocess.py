@@ -9,6 +9,41 @@ Reference-compatible port of /root/reference/preprocess_datasets.py:
 import argparse
 
 
+def _synthetic_run(args):
+    """Extract synthetic RAW trees end to end (no real datasets)."""
+    import os
+    import os.path as osp
+    from tuch_tpu.data.preprocess import synthetic_raw as sr
+    from tuch_tpu.data.preprocess.dsc import read_df_subset, read_lsp_subset
+    from tuch_tpu.data.preprocess.mtp import mtp_extract
+    from tuch_tpu.data.preprocess.pw3d import pw3d_extract
+    from tuch_tpu.data.preprocess.mpi_inf_3dhp import mpi_inf_3dhp_extract
+
+    out = args.out or osp.join('out', 'preprocess_synthetic')
+    raw = osp.join(out, 'raw')
+    os.makedirs(out, exist_ok=True)
+
+    print('=== writing synthetic RAW trees ===')
+    dsc = sr.write_dsc_raw(raw)
+    mtp = sr.write_mtp_raw(raw)
+    pw3d = sr.write_pw3d_raw(raw)
+    dhp = sr.write_3dhp_raw(raw)
+
+    print('=== extracting ===')
+    read_df_subset(dsc['dsc_dir'], dsc['df_img_dir'], out)
+    for subset in ('lsp', 'lspet'):
+        read_lsp_subset(dsc['dsc_dir'], dsc[f'{subset}_img_dir'],
+                        subset, out)
+    mtp_extract(ds_dir=mtp['ds_dir'], out_path=out, mode='train')
+    mtp_extract(ds_dir=mtp['ds_dir'], out_path=out, mode='val')
+    pw3d_extract(dataset_path=pw3d['ds_dir'], out_path=out, split='test')
+    mpi_inf_3dhp_extract(dataset_path=dhp['ds_dir'], out_path=out,
+                         mode='train')
+    mpi_inf_3dhp_extract(dataset_path=dhp['ds_dir'], out_path=out,
+                         mode='test')
+    print('synthetic preprocess complete ->', out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--train_files_tuch', action='store_true',
@@ -22,12 +57,22 @@ def main(argv=None):
                         '3dpw mpi-inf-3dhp')
     p.add_argument('--extract_img', action='store_true',
                    help='also extract 3DHP video frames (needs cv2)')
+    p.add_argument('--synthetic', action='store_true',
+                   help='hermetic run: write tiny synthetic RAW trees and '
+                        'extract those (no downloads)')
+    p.add_argument('--out', default=None,
+                   help='output dir for the .pt databases '
+                        '(default: config.DBS_PATH, or '
+                        'out/preprocess_synthetic with --synthetic)')
     args = p.parse_args(argv)
 
     from tuch_tpu.data.preprocess.dsc import dsc_extract
     from tuch_tpu.data.preprocess.mtp import mtp_extract
     from tuch_tpu.data.preprocess.pw3d import pw3d_extract
     from tuch_tpu.data.preprocess.mpi_inf_3dhp import mpi_inf_3dhp_extract
+
+    if args.synthetic:
+        return _synthetic_run(args)
 
     todo = set(args.datasets or [])
     if args.train_files_tuch:
