@@ -82,20 +82,22 @@ def main(argv=None):
     if args.test_files_tuch:
         todo |= {'3dpw_test', 'mpi-inf-3dhp_test'}
 
+    out = args.out  # None -> each extractor defaults to config.DBS_PATH
     for name in sorted(todo):
         print(f'=== extracting {name} ===')
         if name.startswith('dsc_'):
-            dsc_extract(name.split('_', 1)[1])
+            dsc_extract(name.split('_', 1)[1], out_path=out)
         elif name == 'mtp':
-            mtp_extract(mode='train')
+            mtp_extract(mode='train', out_path=out)
         elif name == 'mtp_val':
-            mtp_extract(mode='val')
+            mtp_extract(mode='val', out_path=out)
         elif name.startswith('3dpw'):
             pw3d_extract(split=name.split('_')[-1]
-                         if '_' in name else 'test')
+                         if '_' in name else 'test', out_path=out)
         elif name.startswith('mpi-inf-3dhp'):
             mode = 'test' if name.endswith('test') else 'train'
-            mpi_inf_3dhp_extract(mode=mode, extract_img=args.extract_img)
+            mpi_inf_3dhp_extract(mode=mode, extract_img=args.extract_img,
+                                 out_path=out)
         else:
             print('unknown dataset', name)
 

@@ -165,8 +165,8 @@ def read_lsp_subset(dsc_dir, img_dir, subset, out_path, scale_factor=1.2):
     return out_file
 
 
-def dsc_extract(subset: str):
-    out_path = config.DBS_PATH
+def dsc_extract(subset: str, out_path=None):
+    out_path = out_path or config.DBS_PATH
     os.makedirs(out_path, exist_ok=True)
     if subset == 'df':
         return read_df_subset(config.DSC_ROOT,

@@ -120,15 +120,16 @@ def self_contact_terms(verts: jnp.ndarray, assets: ContactAssets,
     return exterior, v2v_min, in_contact
 
 
-def _candidate_flags(vd, min_d2, prev_exterior, cand, wn_c):
+def _candidate_flags(shape, prev_exterior, cand, wn_c):
     """Combine candidate winding results with previous flags.
 
-    tested vertices get their fresh in/out result; untested vertices KEEP
-    their previous flag (sticky) when prev_exterior is given, else default
-    to exterior. Stickiness matters for interiors that candidate selection
-    cannot see (see contact_neighbors docstring).
+    shape: (B, V) of the full flag array. Tested vertices get their fresh
+    in/out result; untested vertices KEEP their previous flag (sticky)
+    when prev_exterior is given, else default to exterior. Stickiness
+    matters for interiors that candidate selection cannot see (see
+    contact_neighbors docstring).
     """
-    B, V, _ = vd.shape
+    B, V = shape
     bidx = jnp.arange(B)[:, None]
     tested = jnp.zeros((B, V), bool).at[bidx, cand].set(True)
     int_scatter = jnp.zeros((B, V), bool).at[bidx, cand].set(wn_c > 0.99)
@@ -198,7 +199,7 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
             qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
             wn_c = winding_numbers_cp(qpts, vd, np.asarray(assets.faces),
                                       mesh)
-            exterior = _candidate_flags(vd, min_d2, prev_exterior, cand,
+            exterior = _candidate_flags((B, V), prev_exterior, cand,
                                         wn_c)
         else:
             wn, argmin = contact_neighbors_cp(vd, np.asarray(assets.faces),
@@ -225,7 +226,7 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
             else:
                 wn_c = contact_ops.winding_numbers_same_tris(
                     qpts, vd, assets.faces, block_f=block_f)
-            exterior = _candidate_flags(vd, min_d2, prev_exterior, cand,
+            exterior = _candidate_flags((B, V), prev_exterior, cand,
                                         wn_c)
         else:
             if use_pallas:

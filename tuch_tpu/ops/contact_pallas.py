@@ -260,8 +260,16 @@ def _winding_affine_kernel(pts_ref, tc_ref, out_ref, *,
     # on a triangle corner -- exactly the self-winding case, where every
     # vertex is a corner of its ~6 incident faces and the true
     # contribution is 0 (the subtraction-form kernel returns atan2(0,0)=0
-    # there). Zero any pair within 1mm of a corner: SMPL edge lengths are
-    # ~5-15mm, so no non-incident triangle is ever masked.
+    # there). Zero any pair within 1mm of a corner. KNOWN LIMITATION (why
+    # this kernel stays experimental, see module STATUS note): at global
+    # coordinates ~1m the affine products carry ~1e-7 absolute noise, so
+    # angles are garbage for corner distances below ~0.3mm regardless of
+    # the mask radius -- and in TIGHT self-contact a query can sit <1mm
+    # from a geodesically-distant vertex whose incident triangles carry
+    # REAL solid angle. There the mask zeroes up to ~2pi sr and can
+    # misclassify a barely-interpenetrated vertex as exterior. The
+    # production subtraction-form kernel has no such floor (differences
+    # are computed before products).
     near_corner = jnp.minimum(jnp.minimum(la2, lb2), lc2) < _CORNER_EPS2
     ang = jnp.where(near_corner, 0.0, ang)
     partial = jnp.sum(ang, axis=1)[None, None, :]
@@ -313,6 +321,16 @@ def winding_numbers_pallas_affine(points: jnp.ndarray, verts: jnp.ndarray,
                                   tf: int = 1024,
                                   interpret: bool = False) -> jnp.ndarray:
     """Winding numbers via the MXU-offloaded affine-form kernel.
+
+    STATUS: experimental, NOT used by any production path (kept as a
+    measured negative result; covered by interpret-mode tests). Two
+    reasons it lost to the subtraction-form kernel: (1) measured
+    throughput is neutral (the VPU still owns sqrt/denominator/atan2);
+    (2) the affine form's ~1e-7 cancellation noise floor forces a 1mm
+    corner mask that zeroes REAL solid angle for queries in tight
+    self-contact, flipping barely-interpenetrated vertices to exterior
+    (see _winding_affine_kernel mask comment). Decision-safe only for
+    geometry without sub-millimeter contact.
 
     Same contract as winding_numbers_pallas. Padding triangles have all
     constants 0 -> numer 0, denom 0; atan2(0, 0) = 0 in the kernel's

@@ -140,6 +140,37 @@ def _local_masked_min(rows, cols, mask, col_ids, block_m: int):
     return jax.vmap(single)(rows, cols)
 
 
+def _col_shard_inputs(V: int, ncp: int, geomask: jnp.ndarray):
+    """Pad the column axis to a multiple of cp; padded columns are banned
+    by the mask and carry out-of-range ids (2**30 sentinel)."""
+    cpad = (-V) % ncp
+    col_ids = np.arange(V + cpad, dtype=np.int32)
+    col_ids[V:] = 2 ** 30
+    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, cpad)))
+    return cpad, jnp.asarray(col_ids), geo_p
+
+
+def _rank_masked_min(vts, geo_shard, id_shard, V, cpad, ncp, block_m):
+    """Inside shard_map: search this rank's column shard, merge over 'cp'.
+
+    Index tie-break across ranks: only positions achieving the global
+    pmin distance keep their id, everything else becomes the 2**30
+    sentinel, and a second pmin picks the smallest id -- matching the
+    single-device streamed argmin's first-minimum semantics.
+    """
+    i_cp = jax.lax.axis_index('cp')
+    vc = (V + cpad) // ncp
+    vts_pad = jnp.pad(vts, ((0, 0), (0, cpad), (0, 0)),
+                      constant_values=1e8)
+    cols = jax.lax.dynamic_slice_in_dim(vts_pad, i_cp * vc, vc, axis=1)
+    loc_d2, loc_arg = _local_masked_min(vts, cols, geo_shard, id_shard,
+                                        block_m)
+    best_d2 = jax.lax.pmin(loc_d2, 'cp')
+    cand = jnp.where(loc_d2 == best_d2, loc_arg, 2 ** 30)
+    best_arg = jax.lax.pmin(cand, 'cp')
+    return best_d2, best_arg
+
+
 def masked_min_cp(verts: jnp.ndarray, geomask: jnp.ndarray, mesh: Mesh,
                   block_m: int = 1024):
     """Geodesic-masked nearest-vertex search, column axis sharded over 'cp'.
@@ -150,28 +181,16 @@ def masked_min_cp(verts: jnp.ndarray, geomask: jnp.ndarray, mesh: Mesh,
     """
     ncp = mesh.shape['cp']
     V = verts.shape[1]
-    cpad = (-V) % ncp
-    col_ids = np.arange(V + cpad, dtype=np.int32)
-    col_ids[V:] = 2 ** 30
-    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, cpad)))
+    cpad, col_ids, geo_p = _col_shard_inputs(V, ncp, geomask)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P('dp'), P(None, 'cp'), P('cp')),
              out_specs=(P('dp'), P('dp')))
     def run(vts, geo_shard, id_shard):
-        i_cp = jax.lax.axis_index('cp')
-        vc = (V + cpad) // ncp
-        vts_pad = jnp.pad(vts, ((0, 0), (0, cpad), (0, 0)),
-                          constant_values=1e8)
-        cols = jax.lax.dynamic_slice_in_dim(vts_pad, i_cp * vc, vc, axis=1)
-        loc_d2, loc_arg = _local_masked_min(vts, cols, geo_shard, id_shard,
-                                            block_m)
-        best_d2 = jax.lax.pmin(loc_d2, 'cp')
-        cand = jnp.where(loc_d2 == best_d2, loc_arg, 2 ** 30)
-        best_arg = jax.lax.pmin(cand, 'cp')
-        return best_d2, best_arg
+        return _rank_masked_min(vts, geo_shard, id_shard, V, cpad, ncp,
+                                block_m)
 
-    min_d2, argmin = run(verts, geo_p, jnp.asarray(col_ids))
+    min_d2, argmin = run(verts, geo_p, col_ids)
     return min_d2, jnp.minimum(argmin, V - 1).astype(jnp.int32)
 
 
@@ -198,12 +217,7 @@ def contact_neighbors_cp(verts: jnp.ndarray, faces: np.ndarray,
         [np.asarray(faces), np.zeros((fpad, 3), faces.dtype)], axis=0)
     fvalid = np.arange(F + fpad) < F
 
-    # Column shard layout: pad V up to a multiple of cp; padded columns are
-    # banned by the mask and carry out-of-range ids.
-    cpad = (-V) % ncp
-    col_ids = np.arange(V + cpad, dtype=np.int32)
-    col_ids[V:] = 2 ** 30
-    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, cpad)))
+    cpad, col_ids, geo_p = _col_shard_inputs(V, ncp, geomask)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P('dp'), P('cp'), P('cp'), P(None, 'cp'), P('cp')),
@@ -211,21 +225,10 @@ def contact_neighbors_cp(verts: jnp.ndarray, faces: np.ndarray,
     def run(vts, f_shard, fv_shard, geo_shard, id_shard):
         wn_part = _local_winding_sum(vts, vts, f_shard, fv_shard, block_f)
         wn = jax.lax.psum(wn_part, 'cp') * INV_4PI
-
-        # local columns: slice this rank's shard out of the full verts
-        i_cp = jax.lax.axis_index('cp')
-        vc = (V + cpad) // ncp
-        vts_pad = jnp.pad(vts, ((0, 0), (0, cpad), (0, 0)),
-                          constant_values=1e8)
-        cols = jax.lax.dynamic_slice_in_dim(vts_pad, i_cp * vc, vc, axis=1)
-        loc_d2, loc_arg = _local_masked_min(vts, cols, geo_shard, id_shard,
-                                            block_m)
-        best_d2 = jax.lax.pmin(loc_d2, 'cp')
-        cand = jnp.where(loc_d2 == best_d2, loc_arg, 2 ** 30)
-        best_arg = jax.lax.pmin(cand, 'cp')
+        best_d2, best_arg = _rank_masked_min(vts, geo_shard, id_shard, V,
+                                             cpad, ncp, block_m)
         return wn, best_d2, best_arg
 
     wn, min_d2, argmin = run(verts, jnp.asarray(faces_p),
-                             jnp.asarray(fvalid), geo_p,
-                             jnp.asarray(col_ids))
+                             jnp.asarray(fvalid), geo_p, col_ids)
     return wn, jnp.minimum(argmin, V - 1).astype(jnp.int32)
