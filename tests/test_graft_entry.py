@@ -1,0 +1,32 @@
+"""Driver-deliverable coverage: entry() compiles, multichip dryrun runs.
+
+The harness records these two as first-class results every round
+(MULTICHIP_r*.json); keep them green in CI too. conftest already
+provisions the 8-device virtual CPU mesh, so the dryrun body runs
+directly (no subprocess re-exec).
+"""
+
+import os
+import sys
+
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+import __graft_entry__ as graft  # noqa: E402
+
+
+def test_entry_compiles_and_runs():
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    verts, joints, cam_t = out
+    assert verts.shape == (4, 6890, 3)
+    assert joints.shape == (4, 49, 3)
+    assert cam_t.shape == (4, 3)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_body():
+    if len(jax.devices()) < 8:  # pragma: no cover
+        pytest.skip('needs the 8-device virtual mesh (conftest)')
+    graft._dryrun_multichip_body(8)
