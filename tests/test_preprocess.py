@@ -108,3 +108,35 @@ def test_smplx_to_smpl_vertex_fit(tiny_smpl):
     target = smpl_forward_pose72(model, gt_betas, gt_pose).vertices
     res = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2)
     assert float(res.loss[0]) < 1e-3
+
+
+def test_smplx_to_smpl_cli_synthetic(tmp_path):
+    """End-to-end CLI: generated smplx-style pkls -> fitted SMPL pkls in
+    the mirrored /smpl/ path, with near-zero vertex error."""
+    import pickle
+    from tuch_tpu.cli.smplx_to_smpl import main
+    main(['--synthetic', '--steps', '800', '--folder', str(tmp_path)])
+    outs = sorted((tmp_path / 'smpl' / 'params').glob('*.pkl'))
+    assert len(outs) == 2
+    with open(outs[0], 'rb') as f:
+        d = pickle.load(f)
+    assert d['pose'].shape == (72,) and d['betas'].shape == (10,)
+
+
+def test_vertex_fit_with_translation_offset(tiny_smpl):
+    """fit_translation recovers pose/shape from targets with an arbitrary
+    global offset (the reference's transl parameter, discarded on save)."""
+    from tuch_tpu.fitting.smplx_to_smpl import fit_smpl_to_vertices
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    model, _ = tiny_smpl
+    rng = np.random.RandomState(1)
+    gt_pose = jnp.asarray(rng.randn(1, 72).astype(np.float32) * 0.1)
+    gt_betas = jnp.asarray(rng.randn(1, 10).astype(np.float32) * 0.3)
+    target = smpl_forward_pose72(model, gt_betas, gt_pose).vertices
+    target = target + jnp.asarray([[[0.5, -1.0, 2.0]]])  # translated
+    res = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2,
+                               fit_translation=True)
+    assert float(res.loss[0]) < 1e-3
+    # without the translation dof the same fit cannot reach the target
+    res_no = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2)
+    assert float(res_no.loss[0]) > 1e-2

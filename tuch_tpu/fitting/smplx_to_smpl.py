@@ -29,22 +29,35 @@ def fit_smpl_to_vertices(model: SMPLModel,
                          init_betas: Optional[jnp.ndarray] = None,
                          correspondence: Optional[jnp.ndarray] = None,
                          num_steps: int = 5000,
-                         lr: float = 1e-2) -> VertexFitResult:
+                         lr: float = 1e-2,
+                         fit_translation: bool = False) -> VertexFitResult:
     """Fit SMPL pose+betas to target vertices.
 
     target_vertices: (B, T, 3). correspondence: optional (T, V) matrix
     mapping SMPL vertices to the target topology (identity when T == V,
     e.g. the smplx_to_smpl.pkl asset's matrix).
+
+    fit_translation: the reference jointly optimizes a translation
+    (smplxtosmpl_mtp.py:71-85) that its OUTPUT then discards (only
+    pose/betas are saved, :117-119). The optimal translation for an L2
+    vertex loss is the centroid difference, so instead of carrying a
+    translation parameter through Adam the loss compares centered vertex
+    sets -- analytically identical at every step.
     """
     B, T, _ = target_vertices.shape
     pose0 = jnp.zeros((B, 72)) if init_pose is None else init_pose
     betas0 = jnp.zeros((B, 10)) if init_betas is None else init_betas
+    if fit_translation:
+        target_vertices = (target_vertices
+                           - target_vertices.mean(axis=1, keepdims=True))
 
     def loss_fn(p):
         out = smpl_forward_pose72(model, p['betas'], p['pose'])
         v = out.vertices
         if correspondence is not None:
             v = jnp.einsum('tv,bvd->btd', correspondence, v)
+        if fit_translation:
+            v = v - v.mean(axis=1, keepdims=True)
         return ((v - target_vertices) ** 2).mean(), v
 
     opt = optax.adam(lr)
@@ -65,6 +78,8 @@ def fit_smpl_to_vertices(model: SMPLModel,
         v = out.vertices
         if correspondence is not None:
             v = jnp.einsum('tv,bvd->btd', correspondence, v)
+        if fit_translation:
+            v = v - v.mean(axis=1, keepdims=True)
         per_sample = ((v - target_vertices) ** 2).mean(axis=(1, 2))
         return params, per_sample
 
