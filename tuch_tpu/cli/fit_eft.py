@@ -13,7 +13,9 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--name', default='eft')
-    p.add_argument('--ds_names', nargs='+', default=['dsc_df'])
+    # --dsname is the reference's spelling (eft_fitting_options.py:14)
+    p.add_argument('--ds_names', '--dsname', nargs='+',
+                   default=['dsc_df'])
     p.add_argument('--pretrained_checkpoint', default=None)
     p.add_argument('--sidx', type=int, default=0)
     p.add_argument('--cbs', type=int, default=None)
