@@ -75,7 +75,7 @@ def check(args):
     from tuch_tpu.train.checkpoint import load_pretrained_params
 
     runtime = rt.build_runtime(synthetic=False, with_segments=False,
-                               with_hd=False)
+                               with_hd=False, with_contact=False)
     loaded = load_pretrained_params(args.checkpoint)
     variables = {'params': loaded['params'],
                  'batch_stats': loaded.get('batch_stats',

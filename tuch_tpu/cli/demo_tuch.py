@@ -99,7 +99,8 @@ def main(argv=None):
     from tuch_tpu.utils.projection import weak_perspective_to_translation
 
     runtime = rt.build_runtime(synthetic=args.synthetic or None,
-                               with_segments=False, with_hd=False)
+                               with_segments=False, with_hd=False,
+                               with_contact=False)
     variables = runtime.variables
     if args.checkpoint:
         from tuch_tpu.train.checkpoint import load_pretrained_params

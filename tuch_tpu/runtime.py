@@ -39,9 +39,17 @@ class Runtime(NamedTuple):
 def build_runtime(options=None, synthetic: Optional[bool] = None,
                   num_verts: Optional[int] = None, seed: int = 0,
                   with_segments: bool = True, with_hd: bool = True,
+                  with_contact: bool = True,
                   img_res: int = 224, init_rng: int = 0) -> Runtime:
     """Build all models/assets. synthetic=None auto-detects: real assets are
-    used when the SMPL model dir exists, else synthetic stand-ins."""
+    used when the SMPL model dir exists, else synthetic stand-ins.
+
+    with_contact=False skips the contact machinery (geodesics, DSC region
+    classes, GMM prior): in real-asset mode those files are then not even
+    required on disk, so inference-only entry points (demo_tuch, eval,
+    parity) run with just the SMPL pkl + mean params — the same minimal
+    asset set the reference demo needs. Runtime.assets.contact / .prior /
+    .contact_classes / .geodists are None/empty in that mode."""
     if synthetic is None:
         synthetic = not os.path.isdir(cfg.SMPL_MODEL_DIR)
     if options is not None and getattr(options, 'synthetic', False):
@@ -63,51 +71,62 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
         if os.path.isfile(cfg.JOINT_REGRESSOR_TRAIN_EXTRA):
             smpl = assets_mod.load_extra_joint_regressor(
                 smpl, cfg.JOINT_REGRESSOR_TRAIN_EXTRA)
-        gmm = assets_mod.load_gmm_prior(os.path.join(cfg.PRIOR_FOLDER,
-                                                     'gmm_08.pkl'))
-        geodists = np.load(cfg.GEODESICS_SMPL)
         mean_pose6d, mean_shape, mean_cam = assets_mod.load_mean_params(
             cfg.SMPL_MEAN_PARAMS)
         import pickle
-        with open(os.path.join(cfg.DSC_ROOT, 'classes.pkl'), 'rb') as f:
-            classes = pickle.load(f)
-        with open(os.path.join(cfg.DSC_ROOT, 'ContactSigSMPL.pkl'),
-                  'rb') as f:
-            csig = pickle.load(f)
-        segments = _load_real_segments()
-        hd_reg = np.load(os.path.join(
-            cfg.HD_MODEL_DIR, 'smpl_neutral_hd_vert_regressor.npy'))
-        with open(os.path.join(
-                cfg.HD_MODEL_DIR,
-                'smpl_neutral_hd_sample_from_mesh_out.pkl'), 'rb') as f:
-            hd_geovec = np.asarray(
-                pickle.load(f)['faces_vert_is_sampled_from'])
-        k = 4
-        order = np.argpartition(-np.abs(hd_reg), k - 1, axis=1)[:, :k]
-        bary = hd_reg[np.arange(hd_reg.shape[0])[:, None], order]
-        hd_compact = (order, bary, hd_geovec)
+        gmm = geodists = classes = csig = None
+        if with_contact:
+            gmm = assets_mod.load_gmm_prior(os.path.join(
+                cfg.PRIOR_FOLDER, 'gmm_08.pkl'))
+            geodists = np.load(cfg.GEODESICS_SMPL)
+            with open(os.path.join(cfg.DSC_ROOT, 'classes.pkl'),
+                      'rb') as f:
+                classes = pickle.load(f)
+            with open(os.path.join(cfg.DSC_ROOT, 'ContactSigSMPL.pkl'),
+                      'rb') as f:
+                csig = pickle.load(f)
+        segments = _load_real_segments() if with_segments else None
+        hd_compact = None
+        if with_hd:
+            hd_reg = np.load(os.path.join(
+                cfg.HD_MODEL_DIR, 'smpl_neutral_hd_vert_regressor.npy'))
+            with open(os.path.join(
+                    cfg.HD_MODEL_DIR,
+                    'smpl_neutral_hd_sample_from_mesh_out.pkl'),
+                    'rb') as f:
+                hd_geovec = np.asarray(
+                    pickle.load(f)['faces_vert_is_sampled_from'])
+            k = 4
+            order = np.argpartition(-np.abs(hd_reg), k - 1, axis=1)[:, :k]
+            bary = hd_reg[np.arange(hd_reg.shape[0])[:, None], order]
+            hd_compact = (order, bary, hd_geovec)
         # pack extras mirror for downstream consumers
         extras = assets_mod.SyntheticExtras(
             geodists=geodists, segments=segments or {},
-            contact_classes=classes, contact_csig=csig,
+            contact_classes=classes or [], contact_csig=csig or {},
             mean_pose6d=mean_pose6d, mean_shape=mean_shape,
-            mean_cam=mean_cam, hd_vert_ids=order, hd_bary=bary,
-            hd_geovec=hd_geovec)
+            mean_cam=mean_cam,
+            hd_vert_ids=hd_compact[0] if hd_compact else None,
+            hd_bary=hd_compact[1] if hd_compact else None,
+            hd_geovec=hd_compact[2] if hd_compact else None)
 
-    prior = create_gmm_prior(gmm)
-    ia, ib, ma, mb = contact_ops.build_region_pairs(classes, csig)
-    seg_tables = None
-    if with_segments and segments:
-        seg_tables = build_segment_tables(segments, np.asarray(smpl.faces),
-                                          smpl.v_template.shape[0])
-    contact_assets = ContactAssets(
-        geomask=jnp.asarray(geodists > cfg.geothres),
-        faces=jnp.asarray(smpl.faces),
-        region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
-        region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb),
-        segment_tables=seg_tables)
+    prior = create_gmm_prior(gmm) if gmm is not None else None
+    contact_assets = None
+    if with_contact and geodists is not None:
+        ia, ib, ma, mb = contact_ops.build_region_pairs(classes, csig)
+        seg_tables = None
+        if with_segments and segments:
+            seg_tables = build_segment_tables(segments,
+                                              np.asarray(smpl.faces),
+                                              smpl.v_template.shape[0])
+        contact_assets = ContactAssets(
+            geomask=jnp.asarray(geodists > cfg.geothres),
+            faces=jnp.asarray(smpl.faces),
+            region_idx_a=jnp.asarray(ia), region_idx_b=jnp.asarray(ib),
+            region_mask_a=jnp.asarray(ma), region_mask_b=jnp.asarray(mb),
+            segment_tables=seg_tables)
     hd = None
-    if with_hd:
+    if with_hd and hd_compact is not None:
         from tuch_tpu.losses.regressor import make_hd_assets_compact
         hd = make_hd_assets_compact(*hd_compact, np.asarray(smpl.faces))
 
@@ -119,7 +138,7 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
     tuch_assets = TuchAssets(smpl=smpl, prior=prior, contact=contact_assets,
                              hd=hd)
     return Runtime(smpl=smpl, assets=tuch_assets, extras=extras, hmr=hmr,
-                   variables=variables, contact_classes=classes,
+                   variables=variables, contact_classes=classes or [],
                    geodists=geodists)
 
 
