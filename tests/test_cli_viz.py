@@ -198,3 +198,88 @@ def test_eft_merge_shards(tmp_path):
     db = joblib.load(out)
     assert db['pose'][0, 0] == 5
     assert db['pose'][1].sum() == 0  # untouched (missing shard tolerated)
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """flax -> reference-named torch .pt -> flax returns the exact tree
+    (so checkpoints trained here load in the reference implementation)."""
+    import numpy as np
+    import jax
+    from tuch_tpu.models import convert, hmr as hmr_mod
+
+    model = hmr_mod.create_hmr(np.zeros(144, np.float32),
+                               np.zeros(10, np.float32),
+                               np.ones(3, np.float32))
+    variables = hmr_mod.init_hmr(model, jax.random.PRNGKey(1), img_res=64)
+
+    path = tmp_path / 'ours.pt'
+    convert.save_torch_checkpoint(
+        variables, str(path),
+        mean_params=(np.zeros(144), np.zeros(10), np.ones(3)),
+        epoch=3, total_step_count=7)
+
+    import torch
+    ckpt = torch.load(str(path), map_location='cpu', weights_only=False)
+    assert ckpt['epoch'] == 3 and ckpt['total_step_count'] == 7
+    sd = ckpt['model']
+    # reference-style key spellings present
+    assert 'conv1.weight' in sd and 'bn1.running_mean' in sd
+    assert 'layer1.0.conv1.weight' in sd
+    assert 'layer1.0.downsample.0.weight' in sd
+    assert 'decpose.weight' in sd and 'init_pose' in sd
+    assert sd['conv1.weight'].shape == (64, 3, 7, 7)  # OIHW
+
+    back = convert.convert_state_dict(sd)
+    flat_a = convert._flatten(variables['params'])
+    flat_b = convert._flatten(back['params'])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)
+    flat_sa = convert._flatten(variables['batch_stats'])
+    flat_sb = convert._flatten(back['batch_stats'])
+    assert set(flat_sa) == set(flat_sb)
+    for k in flat_sa:
+        np.testing.assert_array_equal(np.asarray(flat_sa[k]),
+                                      np.asarray(flat_sb[k]), err_msg=k)
+
+
+def test_export_torch_cli_from_orbax(tmp_path):
+    """Orbax train checkpoint -> export_torch CLI -> reference-format .pt
+    whose converted-back params equal the originals."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tuch_tpu.models import convert, hmr as hmr_mod
+    from tuch_tpu.train.checkpoint import CheckpointManager
+    from tuch_tpu.train.module import TrainState
+    from tuch_tpu.cli.export_torch import main as export_main
+
+    model = hmr_mod.create_hmr(np.zeros(144, np.float32),
+                               np.zeros(10, np.float32),
+                               np.ones(3, np.float32))
+    variables = hmr_mod.init_hmr(model, jax.random.PRNGKey(2), img_res=64)
+    opt = optax.adam(1e-4)
+    state = TrainState(params=variables['params'],
+                       batch_stats=variables['batch_stats'],
+                       opt_state=opt.init(variables['params']),
+                       fits=jnp.zeros((2, 82)),
+                       rng=jax.random.PRNGKey(0),
+                       step=jnp.asarray(5, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / 'ckpts'))
+    ckpt_path = mgr.save(state, loader_state={})
+
+    out_pt = str(tmp_path / 'exported.pt')
+    export_main(['--checkpoint', ckpt_path, '--out', out_pt])
+
+    import torch
+    ckpt = torch.load(out_pt, map_location='cpu', weights_only=False)
+    assert ckpt['total_step_count'] == 5
+    back = convert.convert_state_dict(ckpt['model'])
+    flat_a = convert._flatten(jax.device_get(variables['params']))
+    flat_b = convert._flatten(back['params'])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=k)

@@ -110,6 +110,85 @@ def convert_torch_checkpoint(path: str):
     return variables
 
 
+def convert_to_torch_state_dict(variables, mean_params=None):
+    """Flax variables -> torch state dict with the reference's key names.
+
+    Inverse of convert_state_dict, so checkpoints trained here can be
+    loaded by the reference implementation (torch.load of the
+    {'model': sd} wrapper, tuch/utils/saver.py:96-105 / train.py). Conv
+    kernels transpose HWIO -> OIHW, Linear kernels transpose back, BN
+    recombines params + batch_stats (num_batches_tracked restored as 0).
+
+    mean_params: optional (pose6d(144,), shape(10,), cam(3,)) tuple for
+    the init_pose/init_shape/init_cam buffers the reference HMR registers
+    (tuch/models/hmr.py:105-111).
+    """
+    params = _flatten(variables['params'])
+    stats = _flatten(variables.get('batch_stats', {}))
+    sd = {}
+
+    def torch_key(path):
+        # backbone/layerS_B/rest -> layerS.B.rest ; backbone/x -> x
+        parts = path.split('/')
+        if parts[0] == 'backbone':
+            parts = parts[1:]
+            m = re.match(r'layer(\d)_(\d+)$', parts[0])
+            if m:
+                parts = [f'layer{m.group(1)}', m.group(2)] + parts[1:]
+        return parts
+
+    for path, v in params.items():
+        parts = torch_key(path)
+        leaf = parts[-1]
+        mod = parts[:-1]
+        if mod and mod[-1] == 'downsample_conv':
+            mod = mod[:-1] + ['downsample', '0']
+        elif mod and mod[-1] == 'downsample_bn':
+            mod = mod[:-1] + ['downsample', '1']
+        v = np.asarray(v)
+        if leaf == 'kernel':
+            if v.ndim == 4:
+                sd['.'.join(mod) + '.weight'] = np.transpose(
+                    v, (3, 2, 0, 1))  # HWIO -> OIHW
+            else:
+                sd['.'.join(mod) + '.weight'] = np.transpose(v, (1, 0))
+        elif leaf == 'scale':
+            sd['.'.join(mod) + '.weight'] = v
+        elif leaf == 'bias':
+            sd['.'.join(mod) + '.bias'] = v
+        else:  # pragma: no cover - no other leaves exist in HMR
+            sd['.'.join(mod + [leaf])] = v
+
+    for path, v in stats.items():
+        parts = torch_key(path)
+        leaf = parts[-1]
+        mod = parts[:-1]
+        if mod and mod[-1] == 'downsample_bn':
+            mod = mod[:-1] + ['downsample', '1']
+        name = {'mean': 'running_mean', 'var': 'running_var'}[leaf]
+        sd['.'.join(mod) + '.' + name] = np.asarray(v)
+        nb = '.'.join(mod) + '.num_batches_tracked'
+        sd[nb] = np.asarray(0, np.int64)
+
+    if mean_params is not None:
+        pose6d, shape, cam = mean_params
+        sd['init_pose'] = np.asarray(pose6d, np.float32).reshape(1, -1)
+        sd['init_shape'] = np.asarray(shape, np.float32).reshape(1, -1)
+        sd['init_cam'] = np.asarray(cam, np.float32).reshape(1, -1)
+    return sd
+
+
+def save_torch_checkpoint(variables, path, mean_params=None, **extra):
+    """Write a reference-loadable .pt checkpoint ({'model': sd} wrapper +
+    any extra scalar entries, mirroring tuch/utils/saver.py:58-94)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          if np.ndim(v) else torch.tensor(v)
+          for k, v in convert_to_torch_state_dict(
+              variables, mean_params).items()}
+    torch.save(dict(extra, model=sd), path)
+
+
 def verify_against_model(variables, model, img_res: int = 64):
     """Shape-check converted params against a freshly-initialized model."""
     import jax
