@@ -106,8 +106,19 @@ def test_smplx_to_smpl_vertex_fit(tiny_smpl):
     gt_betas = jnp.asarray(rng.randn(1, 10).astype(np.float32) * 0.3)
     from tuch_tpu.models.smpl import smpl_forward_pose72
     target = smpl_forward_pose72(model, gt_betas, gt_pose).vertices
-    res = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2)
-    assert float(res.loss[0]) < 1e-3
+    # reference semantics: global orient is FIXED at its init -- seed it
+    # with the GT orient (the CLI seeds from the smplx global_orient)
+    init = jnp.concatenate([gt_pose[:, :3], jnp.zeros((1, 69))], axis=1)
+    res = fit_smpl_to_vertices(model, target, init_pose=init,
+                               num_steps=200, lr=2e-2)
+    assert float(res.loss[0]) < 5e-2  # mean per-vertex L2 norm
+    # the fixed orient came through untouched
+    np.testing.assert_array_equal(np.asarray(res.pose[:, :3]),
+                                  np.asarray(gt_pose[:, :3]))
+    # opt-in deviation: free orient converges from a zero init too
+    res2 = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2,
+                                optimize_global_orient=True, loss='mse')
+    assert float(res2.loss[0]) < 1e-3
 
 
 def test_smplx_to_smpl_cli_synthetic(tmp_path):
@@ -134,9 +145,12 @@ def test_vertex_fit_with_translation_offset(tiny_smpl):
     gt_betas = jnp.asarray(rng.randn(1, 10).astype(np.float32) * 0.3)
     target = smpl_forward_pose72(model, gt_betas, gt_pose).vertices
     target = target + jnp.asarray([[[0.5, -1.0, 2.0]]])  # translated
-    res = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2,
+    init = jnp.concatenate([gt_pose[:, :3], jnp.zeros((1, 69))], axis=1)
+    res = fit_smpl_to_vertices(model, target, init_pose=init,
+                               num_steps=200, lr=2e-2,
                                fit_translation=True)
-    assert float(res.loss[0]) < 1e-3
+    assert float(res.loss[0]) < 5e-2
     # without the translation dof the same fit cannot reach the target
-    res_no = fit_smpl_to_vertices(model, target, num_steps=200, lr=2e-2)
-    assert float(res_no.loss[0]) > 1e-2
+    res_no = fit_smpl_to_vertices(model, target, init_pose=init,
+                                  num_steps=200, lr=2e-2)
+    assert float(res_no.loss[0]) > 1e-1

@@ -48,9 +48,18 @@ def main(argv=None):
     if mean_path:
         from tuch_tpu.assets import load_mean_params
         means = load_mean_params(mean_path)
+    else:
+        print('WARNING: no smpl_mean_params.npz found/given -- the '
+              'init_pose/init_shape/init_cam buffers are absent, so the '
+              "reference's STRICT state-dict load (train --resume, "
+              'saver.py:86) will fail; demo/eval (strict=False) still '
+              'work. Pass --mean_params to embed them.')
 
+    # the reference's load_checkpoint unconditionally reads these keys
+    # (tuch/utils/saver.py:91-95) -- include them all for train --resume
     save_torch_checkpoint(variables, args.out, mean_params=means,
-                          total_step_count=step)
+                          epoch=0, batch_idx=0, batch_size=None,
+                          dataset_perm=None, total_step_count=step)
     print(f'wrote reference-format checkpoint: {args.out} '
           f'(step {step}, mean params: '
           f'{"embedded" if means else "absent"})')

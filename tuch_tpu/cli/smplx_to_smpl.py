@@ -4,7 +4,9 @@ Reference-compatible port of /root/reference/tuch/utils/smplxtosmpl_mtp.py:
 reads a folder of SMPLify-XMC smplx parameter pkls (each with 'vertices',
 'body_pose', 'global_orient'), maps the vertices onto the SMPL topology
 through the smplx_to_smpl.pkl correspondence matrix, fits SMPL
-pose+betas(+translation) by vertex L2, and writes {'pose', 'betas'} pkls
+pose+betas(+translation) by the reference's mean per-vertex L2 norm
+(global orient held fixed, like smplxtosmpl_mtp.py:84-99), and writes
+{'pose', 'betas'} pkls
 into the mirrored .../smpl/... path. Where the reference runs a 5000-step
 host-side Adam loop PER SAMPLE, the whole shard here is one batched
 jitted `lax.scan` fit.
@@ -50,8 +52,9 @@ def convert_folder(folder, matrix, model, num_steps=5000, sidx=None,
     import jax.numpy as jnp
     from tuch_tpu.fitting.smplx_to_smpl import fit_smpl_to_vertices
 
-    files = sorted(glob.glob(osp.join(folder, '**', '*.pkl'),
-                             recursive=True))
+    files = sorted(f for f in glob.glob(osp.join(folder, '**', '*.pkl'),
+                                        recursive=True)
+                   if not f.endswith('_smpl.pkl'))  # skip own outputs
     if sidx is not None:
         lo = int(sidx) * int(cbs)
         files = files[lo:lo + int(cbs)]
@@ -85,7 +88,8 @@ def convert_folder(folder, matrix, model, num_steps=5000, sidx=None,
             pickle.dump({'pose': np.asarray(res.pose[i], np.float64),
                          'betas': np.asarray(res.betas[i], np.float64)}, f)
         outs.append(out_path)
-        print(f'{path} -> {out_path} (vertex mse {float(res.loss[i]):.2e})')
+        print(f'{path} -> {out_path} '
+              f'(mean vertex err {float(res.loss[i]):.2e})')
     return outs
 
 
@@ -104,6 +108,8 @@ def main(argv=None):
     p.add_argument('--synthetic', action='store_true',
                    help='hermetic run on generated bodies (no assets)')
     args = p.parse_args(argv)
+    if (args.sidx is None) != (args.cbs is None):
+        p.error('--idx/--sidx and --cbs must be given together')
 
     import jax.numpy as jnp
     from tuch_tpu import assets
@@ -132,9 +138,9 @@ def main(argv=None):
 
     if not args.folder:
         p.error('--folder is required unless --synthetic is set')
+    from tuch_tpu import config as cfg
     model = assets.load_smpl_pkl(
-        osp.join(__import__('tuch_tpu.config', fromlist=['config'])
-                 .SMPL_MODEL_DIR, 'SMPL_NEUTRAL.pkl'))
+        osp.join(cfg.SMPL_MODEL_DIR, 'SMPL_NEUTRAL.pkl'))
     matrix = _load_matrix(args.matrix) if args.matrix else None
     convert_folder(args.folder, matrix, model, num_steps=args.steps,
                    sidx=args.sidx, cbs=args.cbs)

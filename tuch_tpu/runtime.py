@@ -110,6 +110,11 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
             hd_bary=hd_compact[1] if hd_compact else None,
             hd_geovec=hd_compact[2] if hd_compact else None)
 
+    if not with_contact:
+        # keep synthetic mode consistent with the documented contract:
+        # no prior/contact/classes/geodists when contact is disabled
+        gmm, geodists, classes, csig = None, None, None, None
+
     prior = create_gmm_prior(gmm) if gmm is not None else None
     contact_assets = None
     if with_contact and geodists is not None:
