@@ -1,0 +1,85 @@
+"""Flag parity: every argparse flag of the reference's option classes is
+accepted by the corresponding tuch_tpu CLI (BASELINE.json requires the
+reference command lines to work unchanged). Scrapes the reference
+configs' add_argument calls and probes our parsers.
+"""
+
+import os
+import re
+
+import pytest
+
+REF_CFG = '/root/reference/configs'
+
+if not os.path.isdir(REF_CFG):  # pragma: no cover
+    pytest.skip('reference repo not mounted', allow_module_level=True)
+
+
+def _ref_flags(fname):
+    with open(os.path.join(REF_CFG, fname)) as f:
+        src = f.read()
+    return sorted(set(re.findall(r"add_argument\('(--[a-z_0-9]+)'", src)))
+
+
+def _accepted_flags(parser):
+    out = set()
+    for action in parser._actions:
+        out.update(o for o in action.option_strings if o.startswith('--'))
+    return out
+
+
+def _dataclass_parser(cls):
+    import argparse
+    from tuch_tpu import config as cfg
+    parser = argparse.ArgumentParser()
+    cfg._add_dataclass_args(parser, cls)
+    return parser
+
+
+def test_train_flags_cover_reference():
+    from tuch_tpu import config as cfg
+    ours = _accepted_flags(_dataclass_parser(cfg.TrainConfig))
+    missing = [f for f in _ref_flags('train_options.py') if f not in ours]
+    assert not missing, f'train flags missing vs reference: {missing}'
+
+
+def test_smplify_dc_flags_cover_reference():
+    from tuch_tpu import config as cfg
+    ours = _accepted_flags(_dataclass_parser(cfg.SMPLifyDemoConfig))
+    missing = [f for f in _ref_flags('smplify_dc_options.py')
+               if f not in ours]
+    assert not missing, f'smplify_dc flags missing: {missing}'
+
+
+def test_eft_flags_cover_reference():
+    import argparse
+    from unittest import mock
+    from tuch_tpu.cli import fit_eft
+
+    captured = {}
+    real_parse = argparse.ArgumentParser.parse_args
+
+    def grab(self, argv=None):
+        captured['flags'] = _accepted_flags(self)
+        raise SystemExit(0)
+
+    with mock.patch.object(argparse.ArgumentParser, 'parse_args', grab):
+        try:
+            fit_eft.main([])
+        except SystemExit:
+            pass
+    missing = [f for f in _ref_flags('eft_fitting_options.py')
+               if f not in captured['flags']]
+    assert not missing, f'eft flags missing: {missing}'
+
+
+def test_eft_weight_defaults_match_reference():
+    """eft_fitting_options.py:35-37: keypoint 1.0, beta 1.0, contact 10.0
+    (wired at fit_eft.py:69-71)."""
+    from tuch_tpu.losses.eft import EFTWeights
+    w = EFTWeights()
+    assert (w.keypoints, w.shape, w.contact) == (1.0, 1.0, 10.0)
+    from tuch_tpu import config as cfg
+    e = cfg.EFTConfig()
+    assert (e.keypoint_loss_weight, e.beta_loss_weight,
+            e.contact_loss_weight) == (1.0, 1.0, 10.0)

@@ -20,10 +20,20 @@ def main(argv=None):
     p.add_argument('--sidx', type=int, default=0)
     p.add_argument('--cbs', type=int, default=None)
     p.add_argument('--max_steps', type=int, default=50)
-    p.add_argument('--lr', type=float, default=1e-6)
-    p.add_argument('--kp_loss_weight', type=float, default=10.0)
-    p.add_argument('--shape_prior_weight', type=float, default=1.0)
-    p.add_argument('--contact_loss_weight', type=float, default=1.0)
+    # reference defaults (eft_fitting_options.py:30-37); --kp_loss_weight /
+    # --shape_prior_weight kept as aliases of the reference spellings
+    p.add_argument('--lr', type=float, default=1e-5)
+    p.add_argument('--keypoint_loss_weight', '--kp_loss_weight',
+                   type=float, default=1.0)
+    p.add_argument('--beta_loss_weight', '--shape_prior_weight',
+                   type=float, default=1.0)
+    p.add_argument('--contact_loss_weight', type=float, default=10.0)
+    p.add_argument('--batch_size', type=int, default=1)
+    p.add_argument('--num_workers', type=int, default=8)
+    p.add_argument('--pin_memory', dest='pin_memory',
+                   action='store_true', default=True)
+    p.add_argument('--no_pin_memory', dest='pin_memory',
+                   action='store_false')
     p.add_argument('--img_res', type=int, default=224)
     p.add_argument('--out_dir', default='out/eft')
     p.add_argument('--seed', type=int, default=0)

@@ -183,6 +183,10 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
             parser.add_argument(arg, type=lambda x: str(x).lower() in
                                 ('true', '1', 'yes'), nargs='?', const=True,
                                 default=default)
+            # reference-style negative companion (train_options.py uses
+            # --no_shuffle_train / --no_pin_memory store_false pairs)
+            parser.add_argument('--no_' + f.name, dest=f.name,
+                                action='store_false')
         elif isinstance(default, list):
             elem_t = float if default and isinstance(default[0], float) else str
             parser.add_argument(arg, nargs='+', type=elem_t, default=default)
@@ -230,7 +234,9 @@ class EFTConfig(TrainConfig):
     cbs: Optional[int] = None        # shard size (None = whole dataset)
     max_steps: int = 50
     batch_size: int = 1
-    kp_loss_weight: float = 10.0
-    shape_prior_weight: float = 1.0
-    contact_loss_weight: float = 1.0
+    # reference defaults (eft_fitting_options.py:35-37); note these
+    # override TrainConfig's training-time weights for the EFT CLI
+    keypoint_loss_weight: float = 1.0
+    beta_loss_weight: float = 1.0
+    contact_loss_weight: float = 10.0
     out_dir: str = 'out/eft'

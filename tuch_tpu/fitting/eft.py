@@ -35,7 +35,7 @@ class EFTFitResult(NamedTuple):
 def make_eft_fit_fn(hmr_model, smpl: SMPLModel, assets: ContactAssets,
                     weights: EFTWeights, max_steps: int = 50,
                     early_stop_loss: float = 200.0,
-                    min_steps: int = 20, lr: float = 1e-6,
+                    min_steps: int = 20, lr: float = 1e-5,
                     img_res: int = 224, candidate_k: int = 0):
     """Build the jitted single-image fit function."""
     opt = optax.adam(lr)
@@ -100,13 +100,15 @@ class EFTFitter:
         self.dataset = dataset
         self.variables = variables
         weights = EFTWeights(
-            keypoints=getattr(options, 'kp_loss_weight', 10.0),
-            shape=getattr(options, 'shape_prior_weight', 1.0),
-            contact=getattr(options, 'contact_loss_weight', 1.0))
+            keypoints=getattr(options, 'keypoint_loss_weight',
+                              getattr(options, 'kp_loss_weight', 1.0)),
+            shape=getattr(options, 'beta_loss_weight',
+                          getattr(options, 'shape_prior_weight', 1.0)),
+            contact=getattr(options, 'contact_loss_weight', 10.0))
         self.fit_one = make_eft_fit_fn(
             hmr_model, smpl, assets, weights,
             max_steps=getattr(options, 'max_steps', 50),
-            lr=getattr(options, 'lr', 1e-6),
+            lr=getattr(options, 'lr', 1e-5),
             img_res=getattr(options, 'img_res', 224),
             candidate_k=getattr(options, 'contact_candidate_k', 0))
 

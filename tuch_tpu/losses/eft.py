@@ -15,10 +15,12 @@ from tuch_tpu.utils.projection import perspective_projection
 
 
 class EFTWeights(NamedTuple):
-    """Reference defaults (configs/eft_fitting_options.py:35-38)."""
-    keypoints: float = 10.0
+    """Reference defaults (configs/eft_fitting_options.py:35-37:
+    keypoint_loss_weight=1.0, beta_loss_weight=1.0,
+    contact_loss_weight=10.0; wiring fit_eft.py:69-71)."""
+    keypoints: float = 1.0
     shape: float = 1.0
-    contact: float = 1.0
+    contact: float = 10.0
 
 
 def eft_loss(joints: jnp.ndarray, betas: jnp.ndarray,
