@@ -83,3 +83,36 @@ def test_eft_weight_defaults_match_reference():
     e = cfg.EFTConfig()
     assert (e.keypoint_loss_weight, e.beta_loss_weight,
             e.contact_loss_weight) == (1.0, 1.0, 10.0)
+
+
+def test_flag_defaults_match_reference():
+    """Scrape scalar add_argument defaults from the reference option files
+    and compare to our dataclass defaults (list/np defaults are checked
+    by hand: ds_names/ds_composition/time_to_run match)."""
+    import dataclasses
+    from tuch_tpu import config as cfg
+
+    def scrape(fname):
+        with open(os.path.join(REF_CFG, fname)) as f:
+            src = f.read()
+        out = {}
+        for flag, d in re.findall(
+                r"add_argument\('(--[a-z_0-9]+)'[^)]*?default=([^,)]+)",
+                src):
+            name = flag[2:]
+            if name.startswith('no_'):
+                continue
+            try:
+                out[name] = eval(d, {'__builtins__': {}})
+            except Exception:
+                pass  # lists/np exprs truncated by the regex
+        return out
+
+    for fname, cls in (('train_options.py', cfg.TrainConfig),
+                       ('smplify_dc_options.py', cfg.SMPLifyDemoConfig),
+                       ('eft_fitting_options.py', cfg.EFTConfig)):
+        ours = {f.name: f.default for f in dataclasses.fields(cls)
+                if f.default is not dataclasses.MISSING}
+        diffs = {k: (v, ours[k]) for k, v in scrape(fname).items()
+                 if k in ours and ours[k] != v}
+        assert not diffs, f'{fname} default mismatches: {diffs}'

@@ -10,24 +10,18 @@ per-image python loop.
       --num_smplify_iters 20 --out_dir out/smplify_dc
 """
 
-import argparse
 import os
 
 import numpy as np
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument('--checkpoint', default=None,
-                   help='SPIN init model checkpoint')
-    p.add_argument('--ds_names', nargs='+', default=['dsc_df'])
-    p.add_argument('--num_smplify_iters', type=int, default=100)
-    p.add_argument('--contact_loss_weight', type=float, default=2000.0)
-    p.add_argument('--num_images', type=int, default=4)
-    p.add_argument('--out_dir', default='out/smplify_dc')
-    p.add_argument('--synthetic', action='store_true')
-    p.add_argument('--img_res', type=int, default=224)
-    args = p.parse_args(argv)
+    # full reference flag set (smplify_dc_options.py) via the dataclass
+    # parser: --name/--log_dir/--batch_size/--num_workers/augmentation
+    # factors/--use_contact_in_the_loop/... all accepted; the demo's own
+    # extras (--num_images/--out_dir/--synthetic) live on the dataclass.
+    from tuch_tpu import config as cfgmod
+    args = cfgmod.parse_config(cfgmod.SMPLifyDemoConfig, argv)
 
     import jax
     import jax.numpy as jnp
@@ -82,8 +76,10 @@ def main(argv=None):
     cam_center = np.full((B, 2), args.img_res / 2.0, np.float32)
 
     cfg = S.SMPLifyConfig(
-        num_iters=args.num_smplify_iters, use_contact=True,
-        euclthres=0.02, contact_loss_weight=args.contact_loss_weight,
+        num_iters=args.num_smplify_iters,
+        use_contact=args.use_contact_in_the_loop,
+        euclthres=0.02,
+        contact_loss_weight=args.contact_in_the_loop_loss_weight,
         collect_trajectory=True)
     res = jax.jit(lambda *a: S.smplify_dc(
         smpl, runtime.assets.prior, runtime.assets.contact, *a,

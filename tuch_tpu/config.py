@@ -219,10 +219,15 @@ def parse_config(cls=TrainConfig, argv=None, finalize=True):
 
 @dataclass
 class SMPLifyDemoConfig(TrainConfig):
-    """Flags of demo_smplify_dc.py (configs/smplify_dc_options.py)."""
+    """Flags of demo_smplify_dc.py (configs/smplify_dc_options.py).
+
+    Reference defaults: batch_size=1 (:22), num_smplify_iters=10 (:35);
+    the README demo command passes --num_smplify_iters 100 explicitly.
+    """
     ds_names: List[str] = field(
         default_factory=lambda: ['dsc_df', 'dsc_lspet', 'dsc_lsp'])
-    num_smplify_iters: int = 100
+    batch_size: int = 1
+    num_smplify_iters: int = 10
     out_dir: str = 'out/smplify_dc'
     num_images: int = 4
 
