@@ -74,6 +74,16 @@ def main(argv=None):
     p.add_argument('--openpose', type=str, default=None)
     p.add_argument('--outfile', type=str, default=None)
     p.add_argument('--outdir', type=str, default='out')
+    p.add_argument('--spin_img_dir', type=str,
+                   default='data/images_spin_fit',
+                   help='with --stack: dir of rendered SPIN fits')
+    p.add_argument('--eft_img_dir', type=str,
+                   default='data/images_eft_fit',
+                   help='with --stack: dir of rendered EFT fits')
+    p.add_argument('--stack', type=lambda x: x in ('true', 'True'),
+                   default=False,
+                   help='append the SPIN/EFT fit renders of the same '
+                        'image to the output strip (demo_tuch.py:212-216)')
     p.add_argument('--synthetic', action='store_true',
                    help='synthetic body/weights (no assets required)')
     args = p.parse_args(argv)
@@ -155,7 +165,30 @@ def main(argv=None):
         side = renderer.render_rotated(verts, cam_t0, 90.0,
                                        image=np.ones_like(img01))
         save_png(out + '_img_in.png', img01)
-        save_png(out + '.png', np.concatenate([img01, front, side], axis=1))
+        strip = np.concatenate([img01, front, side], axis=1)
+        save_png(out + '.png', strip)
+        if args.stack:
+            # comparison strip with prior SPIN/EFT renders of the same
+            # image (demo_tuch.py:212-216); skip cleanly when absent
+            from PIL import Image
+            tiles = [strip]
+            for d in (args.eft_img_dir, args.spin_img_dir):
+                fp = osp.join(d, stem + '.png')
+                if osp.isfile(fp):
+                    with Image.open(fp) as im:
+                        t = np.asarray(im.convert('RGB'),
+                                       np.float32) / 255.0
+                    if t.shape[0] != strip.shape[0]:
+                        ratio = strip.shape[0] / t.shape[0]
+                        im2 = Image.fromarray(
+                            (t * 255).astype(np.uint8)).resize(
+                            (int(t.shape[1] * ratio), strip.shape[0]))
+                        t = np.asarray(im2, np.float32) / 255.0
+                    tiles.append(t)
+                else:
+                    print('stack: missing', fp)
+            save_png(out + '_stacked.png',
+                     np.concatenate(tiles, axis=1))
         print('saved results to', out)
 
 

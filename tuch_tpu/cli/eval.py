@@ -21,6 +21,9 @@ def main(argv=None):
     p.add_argument('--shuffle', default=False, action='store_true')
     p.add_argument('--num_workers', default=8, type=int)
     p.add_argument('--result_file', default=None)
+    p.add_argument('--idx', default=None,
+                   help='accepted for reference compatibility; unused by '
+                        'the reference too (eval.py:56)')
     p.add_argument('--synthetic', action='store_true')
     p.add_argument('--synthetic_samples', type=int, default=16)
     args = p.parse_args(argv)
