@@ -182,7 +182,8 @@ def save_torch_checkpoint(variables, path, mean_params=None, **extra):
     """Write a reference-loadable .pt checkpoint ({'model': sd} wrapper +
     any extra scalar entries, mirroring tuch/utils/saver.py:58-94)."""
     import torch
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy: jax returns read-only numpy views, torch wants writable
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           if np.ndim(v) else torch.tensor(v)
           for k, v in convert_to_torch_state_dict(
               variables, mean_params).items()}
