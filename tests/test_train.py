@@ -259,3 +259,66 @@ def test_train_step_jit_cache(tiny_runtime, tmp_path):
     state, _, _ = step(state, b1)
     state, _, _ = step(state, b2)
     assert step._cache_size() == 1
+
+
+def test_train_step_degenerate_batch_finite(tiny_runtime, tmp_path):
+    """All capability flags zero + zero keypoint confidences: no loss term
+    has valid data, yet loss and gradients must stay finite (the
+    conf-weighted means and flag-masked averages must not produce 0/0)."""
+    import optax
+    from tuch_tpu.train.module import TrainState, make_train_step
+    runtime = tiny_runtime
+    opts = make_options(tmp_path, run_smplify=True, num_smplify_iters=1,
+                        contact_loss_weight=1e-3)
+    optimizer = optax.adam(opts.lr)
+    step = jax.jit(make_train_step(runtime.hmr, runtime.assets, opts,
+                                   optimizer,
+                                   len(runtime.contact_classes)))
+    params = runtime.variables['params']
+    state = TrainState(
+        params=params, batch_stats=runtime.variables['batch_stats'],
+        opt_state=optimizer.init(params),
+        fits=jnp.zeros((8, 82)), rng=jax.random.PRNGKey(0),
+        step=jnp.asarray(0, jnp.int32))
+    batch = make_batch(runtime)
+    for k in ('has_smpl', 'has_pgt_smpl', 'has_disc_contact',
+              'has_gt_kpts', 'has_pose_3d'):
+        batch[k] = np.zeros_like(batch[k])
+    batch['keypoints'][..., 2] = 0.0      # zero confidence everywhere
+    batch['contact_vec'][:] = 0.0
+    new_state, metrics, _ = step(state, batch)
+    assert np.isfinite(float(np.asarray(metrics['loss'])))
+    flat = jax.tree_util.tree_leaves(new_state.params)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+
+
+def test_accept_reject_rejects_nonfinite_fit(tiny_runtime, tmp_path):
+    """A diverged (NaN) smplify result must never be written into the
+    fits store: NaN loss compares False against the previous loss, so
+    accept/reject keeps the old fit (reference train_module.py:259-271
+    relies on the same comparison semantics)."""
+    import optax
+    from tuch_tpu.train.module import TrainState, make_train_step
+    runtime = tiny_runtime
+    opts = make_options(tmp_path, run_smplify=True, num_smplify_iters=1,
+                        contact_loss_weight=1e-3)
+    optimizer = optax.adam(opts.lr)
+    step = jax.jit(make_train_step(runtime.hmr, runtime.assets, opts,
+                                   optimizer,
+                                   len(runtime.contact_classes)))
+    params = runtime.variables['params']
+    fits0 = jnp.asarray(
+        np.tile(np.linspace(0.1, 0.9, 82, dtype=np.float32), (8, 1)))
+    state = TrainState(
+        params=params, batch_stats=runtime.variables['batch_stats'],
+        opt_state=optimizer.init(params),
+        fits=fits0, rng=jax.random.PRNGKey(0),
+        step=jnp.asarray(0, jnp.int32))
+    batch = make_batch(runtime)
+    # poison the images so HMR init (and thus the fit) goes non-finite
+    batch['img'] = np.full_like(batch['img'], np.nan)
+    new_state, metrics, _ = step(state, batch)
+    # stored fits are untouched (never NaN, never accepted)
+    assert bool(jnp.all(jnp.isfinite(new_state.fits)))
+    np.testing.assert_array_equal(np.asarray(new_state.fits),
+                                  np.asarray(fits0))

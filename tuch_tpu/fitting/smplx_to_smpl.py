@@ -71,7 +71,10 @@ def fit_smpl_to_vertices(model: SMPLModel,
         if loss == 'mse':
             per = (d ** 2).mean(axis=(1, 2))
         else:
-            per = jnp.linalg.norm(d, axis=-1).mean(axis=1)
+            # zero-safe norm: at a perfect vertex fit the distance is 0
+            # and jnp.linalg.norm's gradient there is NaN
+            from tuch_tpu.losses.smplify import zero_safe_norm
+            per = zero_safe_norm(d).mean(axis=1)
         return per.mean(), per
 
     transl0 = jnp.zeros((B, 3))

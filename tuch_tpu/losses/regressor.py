@@ -216,7 +216,10 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         d2 = jnp.where(geo, d2, jnp.inf)
         argmin = jnp.argmin(d2, axis=1)
         has_neighbor = jnp.isfinite(jnp.min(d2, axis=1))
-        d_hd = jnp.linalg.norm(pts - pts[argmin], axis=-1)
+        # zero-safe: coincident HD points (tight contact) must give a 0
+        # gradient, not NaN (see losses/smplify.zero_safe_norm)
+        from tuch_tpu.losses.smplify import zero_safe_norm
+        d_hd = zero_safe_norm(pts - pts[argmin])
 
         w_valid = (sel & has_neighbor).astype(pts.dtype)
         pull = 0.005 * jnp.tanh(d_hd / 0.005) ** 2

@@ -241,11 +241,27 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
     return exterior, argmin
 
 
+def zero_safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """||diff|| with a ZERO gradient at exactly-coincident points.
+
+    jnp.linalg.norm has a NaN gradient at 0 (d sqrt(x)/dx -> inf), and
+    multiplying the VALUE by a mask does not mask the gradient -- so a
+    contact pair pulled to exact coincidence (the pull term's fixed
+    point!) would poison the whole backward pass. The tanh^2 energies
+    consuming these distances have zero derivative at d=0, so the
+    mathematically-correct gradient there is 0, which this where-guard
+    produces exactly.
+    """
+    d2 = jnp.sum(diff * diff, axis=axis)
+    pos = d2 > 0
+    return jnp.sqrt(jnp.where(pos, d2, 1.0)) * pos
+
+
 def contact_distances(verts: jnp.ndarray, argmin: jnp.ndarray
                       ) -> jnp.ndarray:
     """The differentiable half: distance to the cached nearest vertex."""
     nearest = jnp.take_along_axis(verts, argmin[..., None], axis=1)
-    return jnp.linalg.norm(verts - nearest, axis=-1)
+    return zero_safe_norm(verts - nearest)
 
 
 def push_pull_terms(exterior, v2v_min, in_contact):
