@@ -101,3 +101,15 @@ def test_flip_perm_is_permutation():
     assert sorted(perm49.tolist()) == list(range(49))
     perm24 = np.array(constants.J24_FLIP_PERM)
     assert sorted(perm24.tolist()) == list(range(24))
+
+
+def test_rotmat_to_aa_gradient_finite_at_identity():
+    """The identity rotation is the worst case: sin(angle/2) == 0 exactly,
+    where an unguarded norm has a NaN gradient that a downstream where()
+    cannot mask."""
+    import jax
+    for aa in (np.zeros(3), np.array([1e-8, 0, 0]),
+               np.array([np.pi, 0, 0])):
+        M = R.batch_rodrigues(jnp.asarray(aa, jnp.float32)[None])
+        g = jax.jacobian(lambda m: R.rotmat_to_aa(m).sum())(M)
+        assert bool(jnp.all(jnp.isfinite(g))), aa

@@ -113,7 +113,11 @@ def quat_to_aa(quat: jnp.ndarray) -> jnp.ndarray:
     """Quaternions (..., 4) -> axis-angle (..., 3)."""
     w = jnp.clip(quat[..., 0], -1.0, 1.0)
     xyz = quat[..., 1:]
-    sin_half = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    # zero-safe norm: jnp.linalg.norm's gradient is NaN at exactly 0
+    # (identity rotation) and a downstream where() does not mask it
+    s2 = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    pos = s2 > 0
+    sin_half = jnp.sqrt(jnp.where(pos, s2, 1.0)) * pos
     angle = 2.0 * jnp.arctan2(sin_half[..., 0], w)[..., None]
     # Near angle==0 the axis is ill-defined; the small-angle limit of
     # axis*angle is 2*xyz/w, so fall back to that first-order expression.
