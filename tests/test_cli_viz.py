@@ -181,8 +181,9 @@ def test_eft_fit_one_early_stop(tiny_smpl):
         variables['params'], variables['batch_stats'],
         jnp.zeros((1, 64, 64, 3)), jnp.asarray(kp), jnp.zeros((1, P)),
         jax.random.PRNGKey(1))
-    # early_stop_loss huge -> stops right after min_steps
-    assert int(steps) == 2
+    # early_stop_loss huge -> earliest reference stop: iteration
+    # min_steps + 1, i.e. min_steps + 2 completed updates
+    assert int(steps) == 3
     assert pose.shape == (1, 72)
 
 

@@ -322,3 +322,23 @@ def test_accept_reject_rejects_nonfinite_fit(tiny_runtime, tmp_path):
     assert bool(jnp.all(jnp.isfinite(new_state.fits)))
     np.testing.assert_array_equal(np.asarray(new_state.fits),
                                   np.asarray(fits0))
+
+
+def test_loader_resume_uses_checkpointed_perm_seed(synth_data, tmp_path):
+    """Mid-epoch resume must regenerate the permutation from the
+    checkpointed perm_seed, not the (possibly different) relaunch seed."""
+    from tuch_tpu.data.loader import CheckpointLoader, LoaderState
+    from tuch_tpu.data.dataset import TuchDataset
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    l_orig = CheckpointLoader(ds, batch_size=4, shuffle=True,
+                              num_workers=0, seed=0)
+    l_relaunch = CheckpointLoader(ds, batch_size=4, shuffle=True,
+                                  num_workers=0, seed=999)  # different!
+    state = LoaderState(epoch=0, batch_idx=1, perm_seed=0)
+    b0 = list(l_orig.epoch_iter(state))
+    b1 = list(l_relaunch.epoch_iter(state))
+    assert len(b0) == len(b1) > 0
+    for x, y in zip(b0, b1):
+        np.testing.assert_array_equal(x['sample_index'], y['sample_index'])

@@ -78,7 +78,10 @@ def main(argv=None):
     cfg = S.SMPLifyConfig(
         num_iters=args.num_smplify_iters,
         use_contact=args.use_contact_in_the_loop,
-        euclthres=0.02,
+        # the reference demo constructs SMPLifyDC WITHOUT euclthres, so
+        # it runs at the class default 0.0 (smplifydc.py:37); training
+        # is what passes config.euclthres=0.02 (train.py:76)
+        euclthres=0.0,
         contact_loss_weight=args.contact_in_the_loop_loss_weight,
         collect_trajectory=True)
     res = jax.jit(lambda *a: S.smplify_dc(

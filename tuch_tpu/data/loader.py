@@ -39,9 +39,14 @@ class CheckpointLoader:
             n += 1
         return n
 
-    def _permutation(self, epoch: int) -> np.ndarray:
+    def _permutation(self, epoch: int,
+                     perm_seed: Optional[int] = None) -> np.ndarray:
+        # perm_seed comes from the LoaderState so a mid-epoch resume
+        # regenerates the EXACT permutation of the checkpointed run even
+        # if the process was relaunched with a different --seed
+        base = self.seed if perm_seed is None else perm_seed
         if self.shuffle:
-            rng = np.random.RandomState((self.seed + 7919 * epoch)
+            rng = np.random.RandomState((base + 7919 * epoch)
                                         & 0x7fffffff)
             return rng.permutation(len(self.dataset))
         return np.arange(len(self.dataset))
@@ -56,7 +61,7 @@ class CheckpointLoader:
     def epoch_iter(self, state: LoaderState
                    ) -> Iterator[Dict[str, np.ndarray]]:
         """Iterate batches of one epoch starting at state.batch_idx."""
-        perm = self._permutation(state.epoch)
+        perm = self._permutation(state.epoch, state.perm_seed)
         nb = self.num_batches()
         batches = range(state.batch_idx, nb)
 

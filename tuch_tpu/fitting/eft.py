@@ -59,8 +59,14 @@ def make_eft_fit_fn(hmr_model, smpl: SMPLModel, assets: ContactAssets,
 
         def cond(carry):
             step, loss, *_ = carry
+            # reference break: `loss < 200 and eft_step > 20` tested at
+            # the END of iteration eft_step (fitter.py:148-149) -- the
+            # earliest stop is eft_step = min_steps + 1, i.e.
+            # min_steps + 2 completed updates, decided on the PRE-update
+            # loss of the last iteration (our carried loss lags one
+            # step, hence the + 1 here).
             return (step < max_steps) & ((loss >= early_stop_loss)
-                                         | (step <= min_steps))
+                                         | (step <= min_steps + 1))
 
         def body(carry):
             step, _, params, bstats, opt_state, rng, _, _ = carry

@@ -110,13 +110,18 @@ class HDAssets(NamedTuple):
                                  # (reference loss.py:279-281)
 
 
-def make_hd_assets(vert_regressor: np.ndarray, geovec: np.ndarray,
-                   faces: np.ndarray, k: int = 4) -> HDAssets:
-    """Compact an (H, V) upsampling matrix to top-k barycentric form."""
+def compact_hd_regressor(vert_regressor: np.ndarray, k: int = 4):
+    """(H, V) upsampling matrix -> (vert_ids (H, k), bary (H, k))."""
     vr = np.asarray(vert_regressor)
     order = np.argpartition(-np.abs(vr), k - 1, axis=1)[:, :k]
     rows = np.arange(vr.shape[0])[:, None]
-    weights = vr[rows, order]
+    return order, vr[rows, order]
+
+
+def make_hd_assets(vert_regressor: np.ndarray, geovec: np.ndarray,
+                   faces: np.ndarray, k: int = 4) -> HDAssets:
+    """Compact an (H, V) upsampling matrix to top-k barycentric form."""
+    order, weights = compact_hd_regressor(vert_regressor, k)
     return make_hd_assets_compact(order, weights, geovec, faces)
 
 

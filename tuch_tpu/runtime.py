@@ -17,7 +17,7 @@ from tuch_tpu import assets as assets_mod
 from tuch_tpu import config as cfg
 from tuch_tpu import constants
 from tuch_tpu.losses.prior import create_gmm_prior
-from tuch_tpu.losses.regressor import HDAssets, make_hd_assets
+from tuch_tpu.losses.regressor import HDAssets, compact_hd_regressor
 from tuch_tpu.losses.smplify import ContactAssets
 from tuch_tpu.models import hmr as hmr_mod
 from tuch_tpu.models.smpl import SMPLModel
@@ -96,9 +96,7 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
                     'rb') as f:
                 hd_geovec = np.asarray(
                     pickle.load(f)['faces_vert_is_sampled_from'])
-            k = 4
-            order = np.argpartition(-np.abs(hd_reg), k - 1, axis=1)[:, :k]
-            bary = hd_reg[np.arange(hd_reg.shape[0])[:, None], order]
+            order, bary = compact_hd_regressor(hd_reg, k=4)
             hd_compact = (order, bary, hd_geovec)
         # pack extras mirror for downstream consumers
         extras = assets_mod.SyntheticExtras(

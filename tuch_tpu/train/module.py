@@ -92,7 +92,10 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         num_iters=options.num_smplify_iters,
         use_contact=use_contact_itl,
         focal_length=focal_length,
-        euclthres=0.0,
+        # training passes the config threshold (reference train.py:76,
+        # config.euclthres=0.02); the DEMO uses the class default 0.0
+        # (demo_smplify_dc.py:66-72 passes no euclthres)
+        euclthres=constants.EUCLTHRES,
         contact_loss_weight=options.contact_in_the_loop_loss_weight,
         exterior_refresh_every=getattr(options,
                                        'smplify_exterior_refresh', 1),

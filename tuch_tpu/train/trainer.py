@@ -157,8 +157,9 @@ class Trainer:
         for epoch in range(self.loader_state.epoch,
                            self.options.num_epochs):
             self.train_one_epoch(epoch)
-            self.loader_state = LoaderState(epoch=epoch + 1, batch_idx=0,
-                                            perm_seed=self.options.seed)
+            self.loader_state = LoaderState(
+                epoch=epoch + 1, batch_idx=0,
+                perm_seed=self.loader_state.perm_seed)
             print(f'================ EPOCH {epoch} DONE ================')
             if time.time() > self.endtime:
                 print('time budget reached; stopping')
@@ -173,7 +174,7 @@ class Trainer:
         start = self.loader_state.batch_idx \
             if self.loader_state.epoch == epoch else 0
         state_iter = LoaderState(epoch=epoch, batch_idx=start,
-                                 perm_seed=self.options.seed)
+                                 perm_seed=self.loader_state.perm_seed)
         # Profiling hook (SURVEY.md section 5: the reference has none):
         # TUCH_PROFILE_STEPS=lo:hi captures a jax.profiler trace of those
         # steps into <summary_dir>/profile.
