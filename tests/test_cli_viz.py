@@ -284,3 +284,22 @@ def test_export_torch_cli_from_orbax(tmp_path):
     for k in flat_a:
         np.testing.assert_array_equal(np.asarray(flat_a[k]),
                                       np.asarray(flat_b[k]), err_msg=k)
+
+
+def test_render_over_matches_projection_convention(tiny_smpl):
+    """The rasterized silhouette must land exactly where the training
+    projection (py = f*Y/Z + cy) puts the body -- a historical y-flip
+    rendered every overlay vertically mirrored."""
+    from tuch_tpu.viz.renderer import Renderer
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    model, _ = tiny_smpl
+    out = smpl_forward_pose72(model, jnp.zeros((1, 10)),
+                              jnp.zeros((1, 72)))
+    v = np.asarray(out.vertices[0])
+    cam_t = np.array([0, 0.35, 50.0], np.float32)  # off-center body
+    r = Renderer(img_res=224, faces=np.asarray(model.faces))
+    rows = r.focal_length * (v[:, 1] + cam_t[1]) / cam_t[2] + 112
+    rend = r.render_over(v, cam_t, np.zeros((224, 224, 3), np.float32))
+    mask_rows = np.where((rend.sum(-1) > 0.01).any(axis=1))[0]
+    assert abs(mask_rows.min() - max(rows.min(), 0)) < 4
+    assert mask_rows.max() == 223  # extends past the bottom edge

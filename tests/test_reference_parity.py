@@ -115,9 +115,18 @@ def test_perspective_projection_matches_reference(rng):
 
 
 def test_reconstruction_error_matches_reference(rng):
+    """A LARGE rotation between the clouds is essential: near R = I,
+    trace(R^T K) == trace(R K) and the (historical) wrong-transpose scale
+    bug is invisible."""
     B, J = 4, 14
     s1 = rng.randn(B, J, 3).astype(np.float32)
-    s2 = s1 * 0.9 + rng.randn(B, J, 3).astype(np.float32) * 0.05
+    th = 2.2  # ~126 degrees about a skew axis
+    axis = np.array([0.6, -0.64, 0.48])
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    s2 = (s1 @ R.T * 1.7 + 0.3
+          + rng.randn(B, J, 3) * 0.05).astype(np.float32)
     ref = ref_pose_utils.reconstruction_error(s1.copy(), s2.copy(),
                                               reduction=None)
     ours = np.asarray(procrustes.reconstruction_error(

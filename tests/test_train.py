@@ -342,3 +342,30 @@ def test_loader_resume_uses_checkpointed_perm_seed(synth_data, tmp_path):
     assert len(b0) == len(b1) > 0
     for x, y in zip(b0, b1):
         np.testing.assert_array_equal(x['sample_index'], y['sample_index'])
+
+
+def test_loader_abandoned_iterator_does_not_leak_thread(synth_data,
+                                                        tmp_path):
+    """Breaking out of epoch_iter mid-epoch must not leave the producer
+    thread blocked on the full queue forever."""
+    import gc
+    import threading
+    import time as _time
+    from tuch_tpu.data.loader import CheckpointLoader, LoaderState
+    from tuch_tpu.data.dataset import TuchDataset
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    before = threading.active_count()
+    for _ in range(3):  # repeat: leaks accumulate, one pass can hide
+        it = CheckpointLoader(ds, batch_size=2, shuffle=True,
+                              num_workers=2, seed=0).epoch_iter(
+            LoaderState(0, 0, 0))
+        next(it)
+        it.close()  # abandon mid-epoch
+    gc.collect()
+    deadline = _time.time() + 5.0
+    while (threading.active_count() > before
+           and _time.time() < deadline):
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1

@@ -138,6 +138,11 @@ class TrainConfig:
     contact_candidate_k: int = 0
 
     # TPU-native additions
+    # Opt-in fix of the reference's dead j3d rotation branch
+    # (base_dataset.py:224-233 builds the matrix but never applies it):
+    # False keeps reference semantics (3D keypoints NOT rotated under
+    # image-rotation augmentation)
+    rotate_pose_3d: bool = False
     grad_clip: float = 0.0           # global-norm gradient clip (0 = off)
     synthetic: bool = False          # run on synthetic assets/data
     use_hd: bool = True              # dense-surface contact in regressor loss

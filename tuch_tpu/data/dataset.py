@@ -57,9 +57,12 @@ def load_db(path: str) -> dict:
 
 
 def _read_image(path: str) -> np.ndarray:
+    """Read as uint8: crop_image converts only the crop's source slice
+    to float32, so full-frame float conversion would waste ~4x the
+    memory traffic on large (e.g. 2048^2 3DHP) frames."""
     from PIL import Image
     with Image.open(path) as im:
-        return np.asarray(im.convert('RGB'), dtype=np.float32)
+        return np.asarray(im.convert('RGB'))
 
 
 class TuchDataset:
@@ -125,8 +128,12 @@ class TuchDataset:
         flip, rot, sc = 0, 0.0, 1.0
         pn = np.ones(3)
         if self.is_train and self.use_augmentation and self.options is not None:
-            rng = np.random.RandomState(
-                (hash((self.seed, self.name, epoch, index)) & 0x7fffffff))
+            # stable across processes: Python's hash() is salted per
+            # interpreter (PYTHONHASHSEED), which would break the
+            # documented (seed, epoch, index)-deterministic resume
+            import zlib
+            key = f'{self.seed}|{self.name}|{epoch}|{index}'.encode()
+            rng = np.random.RandomState(zlib.crc32(key) & 0x7fffffff)
             o = self.options
             if rng.uniform() <= 0.5:
                 flip = 1
@@ -184,7 +191,10 @@ class TuchDataset:
 
         if self.has_pose_3d[index]:
             S = np.asarray(self.data['S'][index], np.float32).copy()
-            pose_3d = T.j3d_processing(S, rot, bool(flip))
+            pose_3d = T.j3d_processing(
+                S, rot, bool(flip),
+                apply_rotation=bool(getattr(self.options,
+                                            'rotate_pose_3d', False)))
         else:
             pose_3d = np.zeros((24, 4), np.float32)
 

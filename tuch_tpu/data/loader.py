@@ -82,24 +82,36 @@ class CheckpointLoader:
         q: 'queue.Queue' = queue.Queue(maxsize=2)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """put() that wakes up if the consumer abandoned the iterator
+            (otherwise the producer blocks forever on the full queue,
+            leaking a deadlocked thread per interrupted epoch)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     pending = []
                     for bi in batches:
+                        if stop.is_set():
+                            return
                         pending.append(pool.submit(make_batch, bi))
                         # keep a small pipeline
                         while len(pending) > 2:
-                            q.put(pending.pop(0).result())
-                            if stop.is_set():
+                            if not put_or_stop(pending.pop(0).result()):
                                 return
                     for f in pending:
-                        q.put(f.result())
-                        if stop.is_set():
+                        if not put_or_stop(f.result()):
                             return
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -77,8 +77,9 @@ class MixedDataset:
         return self.length
 
     def get(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
-        rng = np.random.RandomState(
-            hash(('mixed', self.seed, epoch, int(index))) & 0x7fffffff)
+        import zlib
+        key = f'mixed|{self.seed}|{epoch}|{int(index)}'.encode()
+        rng = np.random.RandomState(zlib.crc32(key) & 0x7fffffff)
         p = rng.rand() * self.partition[-1]
         ds_i = int(np.searchsorted(self.partition, p))
         ds_i = min(ds_i, len(self.datasets) - 1)

@@ -101,7 +101,9 @@ def test_data(dataset_path, out_path, scale_factor=1.2):
                             f'TS{user_i}')
         with h5py.File(osp.join(seq_path, 'annot_data.mat'), 'r') as m:
             annot2 = np.asarray(m['annot2'])
-            annot3 = np.asarray(m['annot3'])
+            # the reference evaluates against the UNIVERSAL (height-
+            # normalized) 3D joints (mpi_inf_3dhp.py:203)
+            annot3 = np.asarray(m['univ_annot3'])
             valid = np.asarray(m['valid_frame']).reshape(-1)
         for frame_i, valid_i in enumerate(valid):
             if not valid_i:
@@ -109,6 +111,22 @@ def test_data(dataset_path, out_path, scale_factor=1.2):
             joints = annot2[frame_i, 0, TEST_J17, :]
             S17 = annot3[frame_i, 0, TEST_J17, :] / 1000
             S17 = S17 - S17[0]
+            # all-joints-visible filter (reference :223-230); image size
+            # read per frame, falling back to the dataset's 2048x2048
+            # when frames aren't extracted alongside the annotations
+            img_file = osp.join(dataset_path, 'mpi_inf_3dhp_test_set',
+                                f'TS{user_i}', 'imageSequence',
+                                f'img_{frame_i + 1:06d}.jpg')
+            if osp.isfile(img_file):
+                from PIL import Image
+                with Image.open(img_file) as im:
+                    w_img, h_img = im.width, im.height
+            else:
+                h_img = w_img = 2048
+            inside = ((joints[:, 0] >= 0) & (joints[:, 0] < w_img)
+                      & (joints[:, 1] >= 0) & (joints[:, 1] < h_img))
+            if inside.sum() < len(JOINTS_IDX):
+                continue
             bbox = [joints[:, 0].min(), joints[:, 1].min(),
                     joints[:, 0].max(), joints[:, 1].max()]
             center = [(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2]

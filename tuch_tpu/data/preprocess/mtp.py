@@ -53,29 +53,21 @@ def bbox_from_keypoints(keypoints, rescale=1.2, detection_thresh=0.2):
 
 
 def fold_camera_rotation(global_orient_aa: np.ndarray,
-                         camera_rot_aa: np.ndarray) -> np.ndarray:
-    """Apply the fit's camera rotation to the global orientation
-    (mtp.py:197-205), pure numpy Rodrigues composition."""
-    from tuch_tpu.data.transforms import rot_aa_np
+                         camera_rot: np.ndarray) -> np.ndarray:
+    """Apply the fit's camera ROTATION MATRIX to the global orientation
+    (mtp.py:197-206: RC = smplx_params['camera_rotation'][0] is a 3x3
+    matrix, R = RC @ rodrigues(global_orient)). Accepts the matrix in
+    (3, 3) or batched (1, 3, 3) form; a 3-vector is treated as
+    axis-angle for backward compatibility with synthetic fixtures."""
+    from tuch_tpu.data.transforms import aa_to_rotmat_np, rotmat_to_aa_np
 
-    def aa_to_R(aa):
-        angle = np.linalg.norm(aa)
-        if angle < 1e-8:
-            return np.eye(3)
-        axis = aa / angle
-        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
-                      [-axis[1], axis[0], 0]])
-        return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
-
-    R = aa_to_R(camera_rot_aa) @ aa_to_R(global_orient_aa)
-    # matrix -> axis-angle via the shared helper (rotate by 0 degrees)
-    cos_a = np.clip((np.trace(R) - 1) / 2, -1, 1)
-    a = np.arccos(cos_a)
-    if a < 1e-8:
-        return np.zeros(3, np.float32)
-    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                     R[1, 0] - R[0, 1]]) / (2 * np.sin(a) + 1e-12)
-    return (axis * a).astype(np.float32)
+    camera_rot = np.asarray(camera_rot, np.float64)
+    if camera_rot.size == 9:
+        RC = camera_rot.reshape(3, 3)
+    else:
+        RC = aa_to_rotmat_np(camera_rot.reshape(-1)[:3])
+    R = RC @ aa_to_rotmat_np(np.asarray(global_orient_aa).reshape(-1)[:3])
+    return rotmat_to_aa_np(R)
 
 
 def mtp_extract(ds_dir=None, out_path=None, mode='train'):
@@ -119,14 +111,17 @@ def mtp_extract(ds_dir=None, out_path=None, mode='train'):
             smpl_params = pickle.load(f)
         pose = np.asarray(smpl_params['pose'], np.float32).reshape(-1)
         betas = np.asarray(smpl_params['betas'], np.float32).reshape(-1)[:10]
-        cam_rot = np.zeros(3, np.float32)
+        pose = pose.copy()
         if osp.isfile(smplx_path):
             with open(smplx_path, 'rb') as f:
                 sx = pickle.load(f)
-            cam_rot = np.asarray(sx.get('camera_rotation',
-                                        np.zeros(3))).reshape(-1)[:3]
-        pose = pose.copy()
-        pose[:3] = fold_camera_rotation(pose[:3], cam_rot)
+            cam_rot = np.asarray(sx.get('camera_rotation', np.eye(3)))
+            # the reference composes with the SMPLX fit's global orient
+            # (mtp.py:199-206), falling back to the smpl pose when the
+            # smplx params lack one
+            go = np.asarray(sx.get('global_orient',
+                                   pose[:3])).reshape(-1)[:3]
+            pose[:3] = fold_camera_rotation(go, cam_rot)
 
         db['imgname'].append(osp.relpath(img_path, img_dir))
         db['scale'].append(scale)

@@ -16,24 +16,10 @@ import numpy as np
 from tuch_tpu import config, constants
 
 
-def _aa_to_R(aa):
-    angle = np.linalg.norm(aa)
-    if angle < 1e-8:
-        return np.eye(3)
-    axis = aa / angle
-    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
-                  [-axis[1], axis[0], 0]])
-    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
-
-
-def _R_to_aa(R):
-    cos_a = np.clip((np.trace(R) - 1) / 2, -1, 1)
-    a = np.arccos(cos_a)
-    if a < 1e-8:
-        return np.zeros(3)
-    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                     R[1, 0] - R[0, 1]]) / (2 * np.sin(a) + 1e-12)
-    return axis * a
+# shared numpy Rodrigues helpers (with the near-pi-safe inverse --
+# 3DPW camera extrinsics routinely produce large rotations)
+from tuch_tpu.data.transforms import (aa_to_rotmat_np as _aa_to_R,
+                                      rotmat_to_aa_np as _R_to_aa)
 
 
 def pw3d_extract(dataset_path=None, out_path=None, split='test',

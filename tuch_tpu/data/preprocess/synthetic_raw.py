@@ -138,10 +138,16 @@ def write_mtp_raw(root, n=4, seed=0):
         with open(osp.join(ds_dir, 'smplify-xmc/smpl/params',
                            nm + '.pkl'), 'wb') as f:
             pickle.dump({'pose': pose, 'betas': betas}, f)
-        cam_rot = np.array([0.0, 0.0, np.pi / 8 * (i % 3)], np.float32)
+        # real SMPLify-XMC schema: camera_rotation is a (1, 3, 3)
+        # rotation MATRIX and the smplx global_orient rides along
+        th = np.pi / 8 * (i % 3)
+        RC = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0],
+                       [0, 0, 1]], np.float32)[None]
         with open(osp.join(ds_dir, 'smplify-xmc/smplx/params',
                            nm + '.pkl'), 'wb') as f:
-            pickle.dump({'camera_rotation': cam_rot}, f)
+            pickle.dump({'camera_rotation': RC,
+                         'global_orient': pose[None, :3]}, f)
     return {'ds_dir': ds_dir, 'names': names, 'split': split}
 
 
@@ -215,10 +221,14 @@ def write_3dhp_raw(root, n_frames=12, seed=0):
         ts_dir = osp.join(ds_dir, 'mpi_inf_3dhp_test_set', f'TS{ts}')
         os.makedirs(ts_dir, exist_ok=True)
         with h5py.File(osp.join(ts_dir, 'annot_data.mat'), 'w') as m:
-            m['annot2'] = rng.uniform(100, 1900, (F, 1, 17, 2))
+            j2 = rng.uniform(100, 1900, (F, 1, 17, 2))
+            j2[0, 0, 0, 0] = 2400.0  # frame 0: joint out of view -> drop
+            m['annot2'] = j2
             m['annot3'] = rng.uniform(-900, 900, (F, 1, 17, 3))
+            # the extractor must use the UNIVERSAL annotations
+            m['univ_annot3'] = rng.uniform(-900, 900, (F, 1, 17, 3))
             valid = np.ones((F, 1))
             valid[-1] = 0  # last frame invalid -> dropped
             m['valid_frame'] = valid
     return {'ds_dir': ds_dir, 'n_train_vids_with_frames': 1,
-            'n_test_expected': 6 * (F - 1)}
+            'n_test_expected': 6 * (F - 2)}  # -1 invalid, -1 out-of-view

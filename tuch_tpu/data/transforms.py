@@ -63,6 +63,26 @@ def crop_image(img: np.ndarray, center, scale, res: Tuple[int, int],
     t = get_transform(center, scale, res, rot)
     t_inv = np.linalg.inv(t)
 
+    # The warp only samples inside the crop quad: slice the source to its
+    # bounding box BEFORE the float32 conversion, so a 2048^2 frame costs
+    # a crop-sized allocation, not a ~50 MB full-frame one (the reference
+    # instead pre-resizes the whole frame, base_dataset.py:258-264).
+    H, W = img.shape[:2]
+    corners = np.array([[0.5, 0.5], [res[1] - 0.5, 0.5],
+                        [0.5, res[0] - 0.5],
+                        [res[1] - 0.5, res[0] - 0.5]])
+    src_c = transform_points(corners, t_inv)
+    x_lo = max(int(np.floor(src_c[:, 0].min() - 1.0)), 0)
+    y_lo = max(int(np.floor(src_c[:, 1].min() - 1.0)), 0)
+    x_hi = min(int(np.ceil(src_c[:, 0].max() + 1.0)) + 1, W)
+    y_hi = min(int(np.ceil(src_c[:, 1].max() + 1.0)) + 1, H)
+    if 0 < (x_hi - x_lo) * (y_hi - y_lo) < H * W:
+        img = img[y_lo:y_hi, x_lo:x_hi]
+        shift = np.eye(3)
+        shift[0, 2] = -x_lo
+        shift[1, 2] = -y_lo
+        t_inv = shift @ t_inv
+
     try:
         from tuch_tpu.viz import native
         if native.get_lib() is not None:
@@ -153,25 +173,22 @@ def flip_pose_np(pose: np.ndarray) -> np.ndarray:
     return pose
 
 
-def rot_aa_np(aa: np.ndarray, rot: float) -> np.ndarray:
-    """Rotate global orientation by `rot` image degrees (imutils.py:135-146),
-    numpy path for the host-side loader (pure Rodrigues, no cv2)."""
-    if rot == 0:
-        return aa.astype(np.float32)
-    rad = np.deg2rad(-rot)
-    R = np.array([[np.cos(rad), -np.sin(rad), 0],
-                  [np.sin(rad), np.cos(rad), 0], [0, 0, 1]])
+def aa_to_rotmat_np(aa: np.ndarray) -> np.ndarray:
+    """Axis-angle (3,) -> rotation matrix, pure-numpy Rodrigues (the
+    host-side analog of utils.rotations.batch_rodrigues)."""
     angle = np.linalg.norm(aa)
     if angle < 1e-8:
-        M = np.eye(3)
-    else:
-        axis = aa / angle
-        K = np.array([[0, -axis[2], axis[1]],
-                      [axis[2], 0, -axis[0]],
-                      [-axis[1], axis[0], 0]])
-        M = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
-    M = R @ M
-    # matrix -> axis-angle
+        return np.eye(3)
+    axis = aa / angle
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+
+
+def rotmat_to_aa_np(M: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle, with the near-pi degenerate branch
+    (sin(a) ~ 0 there, so the antisymmetric-part formula breaks down)."""
     cos_a = np.clip((np.trace(M) - 1) / 2, -1, 1)
     a = np.arccos(cos_a)
     if a < 1e-8:
@@ -190,6 +207,17 @@ def rot_aa_np(aa: np.ndarray, rot: float) -> np.ndarray:
     return (axis * a).astype(np.float32)
 
 
+def rot_aa_np(aa: np.ndarray, rot: float) -> np.ndarray:
+    """Rotate global orientation by `rot` image degrees (imutils.py:135-146),
+    numpy path for the host-side loader (pure Rodrigues, no cv2)."""
+    if rot == 0:
+        return aa.astype(np.float32)
+    rad = np.deg2rad(-rot)
+    R = np.array([[np.cos(rad), -np.sin(rad), 0],
+                  [np.sin(rad), np.cos(rad), 0], [0, 0, 1]])
+    return rotmat_to_aa_np(R @ aa_to_rotmat_np(aa))
+
+
 def j2d_processing(kp: np.ndarray, center, scale, res: int, rot: float,
                    flip: bool) -> np.ndarray:
     """Transform GT 2D keypoints into normalized crop coords
@@ -203,10 +231,19 @@ def j2d_processing(kp: np.ndarray, center, scale, res: int, rot: float,
     return kp.astype(np.float32)
 
 
-def j3d_processing(S: np.ndarray, rot: float, flip: bool) -> np.ndarray:
-    """In-plane-rotate + flip 3D keypoints (base_dataset.py:221-238)."""
+def j3d_processing(S: np.ndarray, rot: float, flip: bool,
+                   apply_rotation: bool = False) -> np.ndarray:
+    """In-plane-rotate + flip 3D keypoints (base_dataset.py:221-238).
+
+    apply_rotation=False is the REFERENCE default: its if/elif structure
+    builds the rotation matrix when r != 0 but the apply branch is only
+    reachable when r == 0 (where it is the identity) -- so the reference
+    never rotates 3D keypoints, leaving the 3D supervision unrotated
+    under image-rotation augmentation. apply_rotation=True opts into the
+    corrected (SPIN-intended) behavior.
+    """
     S = S.copy()
-    if rot != 0:
+    if apply_rotation and rot != 0:
         rad = -rot * np.pi / 180
         sn, cs = np.sin(rad), np.cos(rad)
         R = np.eye(3)

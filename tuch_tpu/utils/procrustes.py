@@ -34,7 +34,9 @@ def compute_similarity_transform(S1: jnp.ndarray,
 
     R = jnp.einsum('bij,bjk,blk->bil', V, Z, U)  # V @ Z @ U^T
 
-    scale = jnp.einsum('bij,bij->b', R, K) / jnp.maximum(var1, 1e-12)
+    # trace(R @ K) -- NOT the Frobenius product trace(R^T K): the two
+    # differ for non-symmetric R (pose_utils.py:64 uses np.trace(R.dot(K)))
+    scale = jnp.einsum('bij,bji->b', R, K) / jnp.maximum(var1, 1e-12)
     t = mu2 - scale[:, None, None] * jnp.einsum('bij,bkj->bki', R, mu1)
     S1_hat = scale[:, None, None] * jnp.einsum('bij,bnj->bni', R, S1) + t
     return S1_hat

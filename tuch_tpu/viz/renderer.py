@@ -74,10 +74,13 @@ class Renderer:
             H, W = image.shape[:2]
         verts_cam = np.asarray(vertices, np.float32) + \
             np.asarray(cam_t, np.float32)[None, :]
-        # flip y (image y is down) -- projection uses +y down already, and
-        # the body model's +y is up:
-        verts_cam = verts_cam * np.array([1, -1, 1], np.float32)
-        verts_cam[:, 2] = np.abs(verts_cam[:, 2])
+        # NO y flip here: the rasterizer projects py = f*Y/Z + cy, the
+        # exact convention of the training/keypoint projection
+        # (utils/projection.perspective_projection), so the overlay
+        # lands where the keypoints/loss say it is. (The reference's
+        # pyrender Rx(180) mesh flip + GL y-up camera also nets out to
+        # this, renderer.py:236-245.) Behind-camera vertices are clipped
+        # by the rasterizer's Z guard, not mirrored.
         colors = self.vertex_colors(verts_cam.shape[0], contact_vec)
         rgb, mask = native.rasterize(verts_cam, faces, colors, H, W,
                                      self.focal_length, W / 2.0, H / 2.0)
