@@ -31,7 +31,6 @@ def build_problem(B, num_verts, num_iters):
     import jax
     import jax.numpy as jnp
     from tuch_tpu import assets as assets_mod
-    from tuch_tpu.fitting import smplify_dc as S
     from tuch_tpu.losses.prior import create_gmm_prior
     from tuch_tpu.losses.smplify import ContactAssets
     from tuch_tpu.models.smpl import smpl_forward_pose72

@@ -102,6 +102,10 @@ def main(argv=None):
     std = np.asarray(constants.IMG_NORM_STD, np.float32)
     init_out = smpl_forward(smpl, init_betas, init_pose[:, 3:],
                             init_pose[:, :3])
+    # hoist the big device->host transfers out of the per-image loop
+    # (trajectory alone is (T, B, V, 3))
+    traj_np = np.asarray(res.trajectory)
+    cam_t_np = np.asarray(res.camera_translation)
     for i in range(B):
         img01 = np.clip(batch['img'][i] * std + mean, 0, 1)
         cv = batch['contact_vec'][i]
@@ -109,17 +113,14 @@ def main(argv=None):
             renderer.render_over(np.asarray(init_out.vertices[i]),
                                  np.asarray(init_cam_t[i]), img01),
             renderer.render_over(np.asarray(res.vertices[i]),
-                                 np.asarray(res.camera_translation[i]),
-                                 img01, contact_vec=cv),
+                                 cam_t_np[i], img01, contact_vec=cv),
             renderer.render_rotated(np.asarray(res.vertices[i]),
-                                    np.asarray(res.camera_translation[i]),
-                                    90.0, contact_vec=cv),
+                                    cam_t_np[i], 90.0, contact_vec=cv),
         ]
         save_png(os.path.join(args.out_dir, f'{i:04d}_fit.png'),
                  np.concatenate(tiles, axis=1))
         traj_img = renderer.visu_smplifycontactopti(
-            np.asarray(res.trajectory), np.asarray(res.camera_translation),
-            [img01] * B, sample=i)
+            traj_np, cam_t_np, [img01] * B, sample=i)
         save_png(os.path.join(args.out_dir, f'{i:04d}_opti.png'), traj_img)
     print('reprojection loss:',
           np.asarray(res.reprojection_loss.mean(axis=-1)))

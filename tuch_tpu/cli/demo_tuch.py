@@ -166,8 +166,9 @@ def main(argv=None):
                                        image=np.ones_like(img01))
         save_png(out + '_img_in.png', img01)
         strip = np.concatenate([img01, front, side], axis=1)
-        save_png(out + '.png', strip)
-        if args.stack:
+        if not args.stack:
+            save_png(out + '.png', strip)
+        else:
             # comparison strip with prior SPIN/EFT renders of the same
             # image (demo_tuch.py:212-216); skip cleanly when absent
             from PIL import Image
@@ -187,8 +188,9 @@ def main(argv=None):
                     tiles.append(t)
                 else:
                     print('stack: missing', fp)
-            save_png(out + '_stacked.png',
-                     np.concatenate(tiles, axis=1))
+            # the reference overwrites <stem>.png with the stacked
+            # strip (demo_tuch.py:215-216)
+            save_png(out + '.png', np.concatenate(tiles, axis=1))
         print('saved results to', out)
 
 

@@ -168,6 +168,11 @@ def main(argv=None) -> int:
 
     from tuch_tpu import config as cfg
 
+    if args.ref_dump and not os.path.isfile(args.ref_dump):
+        # an explicitly-requested gate must not silently degrade to the
+        # weaker checks on a typo'd path
+        print(f'ERROR: --ref_dump {args.ref_dump} does not exist')
+        return 2
     if args.ref_dump and os.path.isfile(args.ref_dump):
         if not args.checkpoint:
             print('--ref_dump needs --checkpoint'); return 2

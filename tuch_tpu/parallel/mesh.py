@@ -58,7 +58,6 @@ def shard_params_tp(params, mesh: Mesh):
     is its natural axis (SURVEY.md section 2.8: model is ~27M params; TP is
     exposure, not necessity).
     """
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]

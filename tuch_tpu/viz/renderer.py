@@ -89,14 +89,20 @@ class Renderer:
 
     def render_rotated(self, vertices: np.ndarray, cam_t: np.ndarray,
                        deg: float, **kw) -> np.ndarray:
-        """Side view: rotate the body about +y by deg before rendering."""
+        """Side view: rotate the body about +y before rendering.
+
+        Matches the reference's row-vector convention
+        `np.dot(v - center, Rodrigues([0, rad, 0])) + center`
+        (demo_tuch.py:178-180) -- i.e. v @ R applies R^T, so deg=90
+        shows the SAME profile the reference shows for 90.
+        """
         v = np.asarray(vertices, np.float32)
         center = v.mean(axis=0)
         rad = np.deg2rad(deg)
         R = np.array([[np.cos(rad), 0, np.sin(rad)],
                       [0, 1, 0],
                       [-np.sin(rad), 0, np.cos(rad)]], np.float32)
-        return self.render_over((v - center) @ R.T + center, cam_t, **kw)
+        return self.render_over((v - center) @ R + center, cam_t, **kw)
 
     # ------------------------------------------------------------------
     # Grid builders (reference renderer.py:52-180)
