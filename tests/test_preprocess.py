@@ -154,3 +154,25 @@ def test_vertex_fit_with_translation_offset(tiny_smpl):
     res_no = fit_smpl_to_vertices(model, target, init_pose=init,
                                   num_steps=200, lr=2e-2)
     assert float(res_no.loss[0]) > 1e-1
+
+
+def test_rotmat_to_aa_np_pi_about_arbitrary_axis():
+    """Near-pi extraction must recover axes whose x-component is ~0 (the
+    old sign fix-up only handled axis[0] > 0)."""
+    from tuch_tpu.data.transforms import aa_to_rotmat_np, rotmat_to_aa_np
+    rng = np.random.RandomState(0)
+    for ax in ([0, 0.7071068, -0.7071068], [0, 0, 1.0], [0, -1.0, 0],
+               rng.randn(3), rng.randn(3)):
+        ax = np.asarray(ax, np.float64)
+        ax /= np.linalg.norm(ax)
+        M = aa_to_rotmat_np(ax * np.pi)
+        M2 = aa_to_rotmat_np(rotmat_to_aa_np(M))
+        np.testing.assert_allclose(M2, M, atol=1e-5)
+
+
+def test_crop_image_fully_outside_returns_zeros():
+    from tuch_tpu.data.transforms import crop_image
+    img = (np.ones((100, 120, 3)) * 50).astype(np.uint8)
+    out = crop_image(img, (130, 110), 0.05, (64, 64))
+    assert out.shape == (64, 64, 3)
+    assert np.all(out == 0)

@@ -369,3 +369,27 @@ def test_loader_abandoned_iterator_does_not_leak_thread(synth_data,
            and _time.time() < deadline):
         _time.sleep(0.05)
     assert threading.active_count() <= before + 1
+
+
+def test_loader_propagates_worker_errors(synth_data, tmp_path):
+    """A failing sample read must raise in the consumer, not silently end
+    the epoch early (which would deflate eval metrics)."""
+    from tuch_tpu.data.loader import CheckpointLoader, LoaderState
+    from tuch_tpu.data.dataset import TuchDataset
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+
+    class Exploding:
+        def __len__(self):
+            return len(ds)
+
+        def get(self, i, epoch=0):
+            if i == 5:
+                raise RuntimeError('corrupt sample')
+            return ds.get(i, epoch)
+
+    loader = CheckpointLoader(Exploding(), batch_size=2, shuffle=False,
+                              num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match='corrupt sample'):
+        list(loader.epoch_iter(LoaderState(0, 0, 0)))

@@ -173,7 +173,7 @@ def main(argv=None) -> int:
         # weaker checks on a typo'd path
         print(f'ERROR: --ref_dump {args.ref_dump} does not exist')
         return 2
-    if args.ref_dump and os.path.isfile(args.ref_dump):
+    if args.ref_dump:
         if not args.checkpoint:
             print('--ref_dump needs --checkpoint'); return 2
         return check_against_dump(args)

@@ -94,6 +94,8 @@ class CheckpointLoader:
                     continue
             return False
 
+        error: list = []
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -110,6 +112,9 @@ class CheckpointLoader:
                     for f in pending:
                         if not put_or_stop(f.result()):
                             return
+            except BaseException as e:  # surface in the consumer: a
+                # swallowed error would silently truncate the epoch
+                error.append(e)
             finally:
                 put_or_stop(None)
 
@@ -119,6 +124,8 @@ class CheckpointLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     break
                 yield item
         finally:

@@ -121,6 +121,10 @@ def test_data(dataset_path, out_path, scale_factor=1.2):
                 from PIL import Image
                 with Image.open(img_file) as im:
                     w_img, h_img = im.width, im.height
+            elif user_i >= 5:
+                # TS5/TS6 are 1920x1080 outdoor sequences; TS1-4 are
+                # 2048x2048 (official 3DHP test-set resolutions)
+                w_img, h_img = 1920, 1080
             else:
                 h_img = w_img = 2048
             inside = ((joints[:, 0] >= 0) & (joints[:, 0] < w_img)

@@ -64,8 +64,12 @@ def fold_camera_rotation(global_orient_aa: np.ndarray,
     camera_rot = np.asarray(camera_rot, np.float64)
     if camera_rot.size == 9:
         RC = camera_rot.reshape(3, 3)
+    elif camera_rot.size == 3:
+        RC = aa_to_rotmat_np(camera_rot.reshape(3))
     else:
-        RC = aa_to_rotmat_np(camera_rot.reshape(-1)[:3])
+        raise ValueError(
+            f'camera_rotation must be a (3, 3)/(1, 3, 3) matrix or a '
+            f'3-vector axis-angle, got shape {camera_rot.shape}')
     R = RC @ aa_to_rotmat_np(np.asarray(global_orient_aa).reshape(-1)[:3])
     return rotmat_to_aa_np(R)
 

@@ -221,7 +221,8 @@ def write_3dhp_raw(root, n_frames=12, seed=0):
         ts_dir = osp.join(ds_dir, 'mpi_inf_3dhp_test_set', f'TS{ts}')
         os.makedirs(ts_dir, exist_ok=True)
         with h5py.File(osp.join(ts_dir, 'annot_data.mat'), 'w') as m:
-            j2 = rng.uniform(100, 1900, (F, 1, 17, 2))
+            # keep joints inside even the 1920x1080 TS5/TS6 frames
+            j2 = rng.uniform(100, 1000, (F, 1, 17, 2))
             j2[0, 0, 0, 0] = 2400.0  # frame 0: joint out of view -> drop
             m['annot2'] = j2
             m['annot3'] = rng.uniform(-900, 900, (F, 1, 17, 3))

@@ -76,7 +76,11 @@ def crop_image(img: np.ndarray, center, scale, res: Tuple[int, int],
     y_lo = max(int(np.floor(src_c[:, 1].min() - 1.0)), 0)
     x_hi = min(int(np.ceil(src_c[:, 0].max() + 1.0)) + 1, W)
     y_hi = min(int(np.ceil(src_c[:, 1].max() + 1.0)) + 1, H)
-    if 0 < (x_hi - x_lo) * (y_hi - y_lo) < H * W:
+    if x_hi <= x_lo or y_hi <= y_lo:
+        # crop box entirely outside the image: all samples zero-fill
+        C = img.shape[2] if img.ndim == 3 else 1
+        return np.zeros((res[0], res[1], C), np.float32)
+    if (x_hi - x_lo) * (y_hi - y_lo) < H * W:
         img = img[y_lo:y_hi, x_lo:x_hi]
         shift = np.eye(3)
         shift[0, 2] = -x_lo
@@ -194,12 +198,12 @@ def rotmat_to_aa_np(M: np.ndarray) -> np.ndarray:
     if a < 1e-8:
         return np.zeros(3, np.float32)
     if np.pi - a < 1e-6:  # near-pi: extract axis from M + I
+        # at angle pi, (M + I) / 2 == axis axis^T exactly: take the row
+        # of the LARGEST diagonal entry so the pivot is never ~0, and
+        # read the other two components (with signs) from that row
         A = (M + np.eye(3)) / 2
-        axis = np.sqrt(np.maximum(np.diag(A), 0))
-        # fix signs from off-diagonals
-        if axis[0] > 0:
-            axis[1] *= np.sign(A[0, 1]) if A[0, 1] != 0 else 1
-            axis[2] *= np.sign(A[0, 2]) if A[0, 2] != 0 else 1
+        k = int(np.argmax(np.diag(A)))
+        axis = A[k] / max(np.sqrt(max(A[k, k], 1e-12)), 1e-12)
         axis /= max(np.linalg.norm(axis), 1e-12)
         return (axis * a).astype(np.float32)
     axis = np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0],
