@@ -62,8 +62,9 @@ class Renderer:
         """Render mesh over an (H, W, 3) [0,1] image (or white bg).
 
         vertices: (V, 3) body-space; cam_t: (3,) translation into camera
-        space. The SPIN convention renders with y/z flipped relative to the
-        camera frame (reference renderer.py:236-245).
+        space. Projection is py = f*Y/Z + cy -- the same convention as
+        the training/keypoint projection, equivalent to the reference's
+        net pyrender setup (renderer.py:236-245).
         """
         faces = self.faces if faces is None else np.asarray(faces, np.int32)
         H = W = self.img_res
