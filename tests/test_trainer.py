@@ -95,3 +95,20 @@ def test_static_fits_seeding(tmp_path):
     tr3 = Trainer(opts3, runtime.hmr, runtime.variables, runtime.assets,
                   mixed, None)
     assert float(np.abs(np.asarray(tr3.state.fits)).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end_synthetic(tmp_path):
+    """The whole `python -m tuch_tpu.cli.train` wiring at toy scale:
+    config parse -> runtime -> datasets -> trainer.fit -> checkpoint."""
+    from tuch_tpu.cli.train import main as train_main
+    train_main(['--name', 'clismoke', '--log_dir', str(tmp_path),
+                '--synthetic', '--synthetic_num_verts', '170',
+                '--img_res', '64', '--batch_size', '2',
+                '--num_epochs', '1', '--num_workers', '0',
+                '--run_smplify', '--num_smplify_iters', '1',
+                '--contact_loss_weight', '1e-4',
+                '--val_and_checkpoint_freq', '1.0'])
+    import glob as _glob
+    ckpts = _glob.glob(str(tmp_path / 'clismoke' / 'checkpoints' / '*'))
+    assert any(not c.endswith('.meta.json') for c in ckpts)

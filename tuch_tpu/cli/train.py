@@ -24,9 +24,10 @@ def main(argv=None):
     from tuch_tpu.viz.renderer import Renderer
 
     options = cfgmod.parse_config(cfgmod.TrainConfig, argv)
-    runtime = rt.build_runtime(options,
-                               synthetic=options.synthetic or None,
-                               img_res=options.img_res)
+    runtime = rt.build_runtime(
+        options, synthetic=options.synthetic or None,
+        num_verts=options.synthetic_num_verts or None,
+        img_res=options.img_res)
 
     variables = runtime.variables
     if options.pretrained_checkpoint:

@@ -143,6 +143,9 @@ class TrainConfig:
     # False keeps reference semantics (3D keypoints NOT rotated under
     # image-rotation augmentation)
     rotate_pose_3d: bool = False
+    # --synthetic body size override (0 = full 6890-vert topology);
+    # lets CI smoke the whole train CLI at toy scale
+    synthetic_num_verts: int = 0
     grad_clip: float = 0.0           # global-norm gradient clip (0 = off)
     synthetic: bool = False          # run on synthetic assets/data
     use_hd: bool = True              # dense-surface contact in regressor loss
