@@ -303,3 +303,30 @@ def test_render_over_matches_projection_convention(tiny_smpl):
     mask_rows = np.where((rend.sum(-1) > 0.01).any(axis=1))[0]
     assert abs(mask_rows.min() - max(rows.min(), 0)) < 4
     assert mask_rows.max() == 223  # extends past the bottom edge
+
+
+@pytest.mark.slow
+def test_fit_eft_cli_end_to_end_synthetic(tmp_path):
+    """The whole fit_eft entry point at toy scale: parse -> runtime ->
+    dataset -> per-exemplar fits -> shard dump."""
+    from tuch_tpu.cli.fit_eft import main as eft_main
+    eft_main(['--name', 'eftsmoke', '--ds_names', 'dsc_df',
+              '--synthetic', '--synthetic_num_verts', '170',
+              '--img_res', '64', '--cbs', '2', '--max_steps', '3',
+              '--out_dir', str(tmp_path)])
+    import glob as _glob
+    outs = _glob.glob(str(tmp_path / '*.npz'))
+    assert outs, 'no shard output written'
+    d = np.load(outs[0])
+    assert d['pose'].shape[1] == 72 and d['betas'].shape[1] == 10
+
+
+@pytest.mark.slow
+def test_eval_cli_end_to_end_synthetic(tmp_path, capsys):
+    """The whole eval entry point at toy scale (synthetic 3dpw)."""
+    from tuch_tpu.cli.eval import main as eval_main
+    eval_main(['--synthetic', '--synthetic_num_verts', '170',
+               '--dataset', '3dpw', '--batch_size', '4',
+               '--synthetic_samples', '8', '--num_workers', '0'])
+    out = capsys.readouterr().out
+    assert 'mpjpe' in out.lower()

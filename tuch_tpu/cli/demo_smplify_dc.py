@@ -34,7 +34,9 @@ def main(argv=None):
     from tuch_tpu.utils.rotations import rotmat_to_aa
     from tuch_tpu.viz.renderer import Renderer, save_png
 
-    runtime = rt.build_runtime(synthetic=args.synthetic or None)
+    runtime = rt.build_runtime(
+        synthetic=args.synthetic or None,
+        num_verts=args.synthetic_num_verts or None)
     variables = runtime.variables
     if args.checkpoint:
         from tuch_tpu.train.checkpoint import load_pretrained_params

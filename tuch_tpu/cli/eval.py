@@ -25,6 +25,8 @@ def main(argv=None):
                    help='accepted for reference compatibility; unused by '
                         'the reference too (eval.py:56)')
     p.add_argument('--synthetic', action='store_true')
+    p.add_argument('--synthetic_num_verts', type=int, default=0,
+                   help='--synthetic body size override (0 = full)')
     p.add_argument('--synthetic_samples', type=int, default=16)
     args = p.parse_args(argv)
 
@@ -34,6 +36,7 @@ def main(argv=None):
     from tuch_tpu.eval.evaluate import run_evaluation
 
     runtime = rt.build_runtime(synthetic=args.synthetic or None,
+                               num_verts=args.synthetic_num_verts or None,
                                with_segments=False, with_hd=False,
                                with_contact=False)
     variables = runtime.variables

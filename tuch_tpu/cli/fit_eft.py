@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument('--out_dir', default='out/eft')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--synthetic', action='store_true')
+    p.add_argument('--synthetic_num_verts', type=int, default=0,
+                   help='--synthetic body size override (0 = full)')
     p.add_argument('--merge', nargs='*', default=None,
                    help='merge shard files instead of fitting')
     args = p.parse_args(argv)
@@ -46,8 +48,10 @@ def main(argv=None):
     from tuch_tpu.data.dataset import TuchDataset, synthetic_db
     from tuch_tpu.fitting.eft import EFTFitter, merge_shards
 
-    runtime = rt.build_runtime(args, synthetic=args.synthetic or None,
-                               img_res=args.img_res)
+    runtime = rt.build_runtime(
+        args, synthetic=args.synthetic or None,
+        num_verts=args.synthetic_num_verts or None,
+        img_res=args.img_res)
     variables = runtime.variables
     if args.pretrained_checkpoint:
         from tuch_tpu.train.checkpoint import load_pretrained_params
