@@ -240,3 +240,39 @@ def test_contact_fitting_loss_matches_reference(rng, tmp_path):
         jnp.asarray(gt_contact), jnp.asarray(ignore), jnp.asarray(has_dc),
         euclthres=0.02, contact_loss_weight=2000.0))
     np.testing.assert_allclose(ours, ref, rtol=5e-4)
+
+
+def test_camera_fitting_loss_matches_reference(rng):
+    """Stage-1 (camera + betas) loss vs the actual reference on identical
+    inputs, incl. the depth-estimate term and the shape prior."""
+    import sys
+    import types
+    sys.path.insert(0, '/root/reference')
+    try:
+        from tuch.smplify import losses as ref_losses
+    finally:
+        sys.path.remove('/root/reference')
+
+    B, J = 3, 49
+    joints = rng.randn(B, J, 3).astype(np.float32) * 0.3
+    betas = rng.randn(B, 10).astype(np.float32) * 0.5
+    cam_t = np.stack([rng.randn(B) * 0.1, rng.randn(B) * 0.1,
+                      5.0 + rng.rand(B)], axis=1).astype(np.float32)
+    cam_t_est = cam_t + rng.randn(B, 3).astype(np.float32) * 0.05
+    center = np.full((B, 2), 112.0, np.float32)
+    kp2d = rng.uniform(0, 224, (B, J, 2)).astype(np.float32)
+    conf = rng.rand(B, J).astype(np.float32)
+
+    smpl_out = types.SimpleNamespace(joints=torch.tensor(joints),
+                                     betas=torch.tensor(betas))
+    ref = ref_losses.camera_fitting_loss(
+        smpl_out, torch.tensor(cam_t), torch.tensor(cam_t_est),
+        torch.tensor(center), torch.tensor(kp2d), torch.tensor(conf),
+        shape_prior_weight=2.0).item()
+
+    from tuch_tpu.losses.smplify import camera_fitting_loss
+    ours = float(camera_fitting_loss(
+        jnp.asarray(joints), jnp.asarray(betas), jnp.asarray(cam_t),
+        jnp.asarray(cam_t_est), jnp.asarray(center), jnp.asarray(kp2d),
+        jnp.asarray(conf), shape_prior_weight=2.0))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5)
