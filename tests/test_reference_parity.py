@@ -276,3 +276,41 @@ def test_camera_fitting_loss_matches_reference(rng):
         jnp.asarray(cam_t_est), jnp.asarray(center), jnp.asarray(kp2d),
         jnp.asarray(conf), shape_prior_weight=2.0))
     np.testing.assert_allclose(ours, ref, rtol=2e-5)
+
+
+def test_body_fitting_loss_matches_reference(rng, tmp_path):
+    """Stage-2 SPIN loss without contact (reproj + GMM + angle + shape)
+    vs the actual reference on identical inputs."""
+    import sys
+    sys.path.insert(0, '/root/reference')
+    try:
+        from tuch.smplify import losses as ref_losses
+    finally:
+        sys.path.remove('/root/reference')
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.losses.prior import create_gmm_prior
+    from tuch_tpu.losses.smplify import body_fitting_loss
+
+    gmm = assets_mod.synthetic_gmm_prior(dim=69)
+    ref_prior = _ref_prior(tmp_path, gmm)
+    ours_prior = create_gmm_prior(gmm)
+
+    B, J = 3, 49
+    body_pose = (rng.randn(B, 69) * 0.2).astype(np.float32)
+    betas = (rng.randn(B, 10) * 0.4).astype(np.float32)
+    joints = rng.randn(B, J, 3).astype(np.float32) * 0.3
+    cam_t = np.stack([rng.randn(B) * 0.1, rng.randn(B) * 0.1,
+                      5.0 + rng.rand(B)], axis=1).astype(np.float32)
+    center = np.full((B, 2), 112.0, np.float32)
+    kp2d = rng.uniform(0, 224, (B, J, 2)).astype(np.float32)
+    conf = rng.rand(B, J).astype(np.float32)
+
+    ref = ref_losses.body_fitting_loss(
+        torch.tensor(body_pose), torch.tensor(betas),
+        torch.tensor(joints), torch.tensor(cam_t), torch.tensor(center),
+        torch.tensor(kp2d), torch.tensor(conf), ref_prior).item()
+    ours = float(body_fitting_loss(
+        jnp.asarray(body_pose), jnp.asarray(betas), jnp.asarray(joints),
+        jnp.asarray(cam_t), jnp.asarray(center), jnp.asarray(kp2d),
+        jnp.asarray(conf), ours_prior))
+    np.testing.assert_allclose(ours, ref, rtol=5e-5)
