@@ -330,3 +330,28 @@ def test_eval_cli_end_to_end_synthetic(tmp_path, capsys):
                '--synthetic_samples', '8', '--num_workers', '0'])
     out = capsys.readouterr().out
     assert 'mpjpe' in out.lower()
+
+
+def test_crop_image_native_matches_numpy(monkeypatch):
+    """The C++ affine warp and the numpy fallback must produce the same
+    crop (both share the new bbox pre-slice), incl. rotation and
+    partially-out-of-bounds boxes -- otherwise training inputs would
+    silently differ between hosts with and without the native lib."""
+    from tuch_tpu.data import transforms as T
+    from tuch_tpu.viz import native as native_mod
+    if native_mod.get_lib() is None:  # pragma: no cover
+        import pytest as _pytest
+        _pytest.skip('native lib unavailable')
+    rng = np.random.RandomState(0)
+    img = (rng.rand(180, 200, 3) * 255).astype(np.uint8)
+    cases = [((100, 90), 0.5, 0.0),      # interior
+             ((100, 90), 0.5, 25.0),     # rotated
+             ((10, 10), 0.4, 0.0),       # partially outside (top-left)
+             ((195, 175), 0.3, -40.0)]   # partially outside + rotated
+    for center, scale, rot in cases:
+        a = T.crop_image(img, center, scale, (64, 64), rot=rot)
+        with monkeypatch.context() as m:
+            m.setattr(native_mod, 'get_lib', lambda: None)
+            b = T.crop_image(img, center, scale, (64, 64), rot=rot)
+        np.testing.assert_allclose(a, b, atol=0.51,  # 1/2 LSB of uint8
+                                   err_msg=f'{center} {scale} {rot}')
