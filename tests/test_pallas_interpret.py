@@ -115,3 +115,63 @@ def test_winding_affine_kernel_matches_jnp():
         # ...and every in/out decision is identical
         np.testing.assert_array_equal(np.asarray(wn_a) <= 0.99,
                                       np.asarray(wn_j) <= 0.99)
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_winding_rigid_motion_invariance():
+    """Winding numbers are a topological quantity: rigid motions of the
+    (points, mesh) pair must not change them (guards against any
+    origin-dependent term sneaking into the kernel math)."""
+    v, f = unit_cube()
+    rng = np.random.RandomState(3)
+    pts = np.array([[0, 0, 0], [0.3, -0.2, 0.4], [2, 0, 0],
+                    [0.49, 0.49, 0.49], [-3, 1, 2]], np.float32)
+    wn0 = cpk.winding_numbers_pallas(jnp.asarray(pts[None]),
+                                     jnp.asarray(v[None]),
+                                     jnp.asarray(f), tq=128, tf=256,
+                                     interpret=True)
+    for trial in range(3):
+        aa = rng.randn(3) * 2.0
+        angle = np.linalg.norm(aa)
+        axis = aa / angle
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = (np.eye(3) + np.sin(angle) * K
+             + (1 - np.cos(angle)) * K @ K).astype(np.float32)
+        t = rng.randn(3).astype(np.float32) * 5.0
+        wn = cpk.winding_numbers_pallas(
+            jnp.asarray((pts @ R.T + t)[None]),
+            jnp.asarray((v @ R.T + t)[None]),
+            jnp.asarray(f), tq=128, tf=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(wn), np.asarray(wn0),
+                                   atol=5e-4, err_msg=f'trial {trial}')
+
+
+@pytest.mark.skipif(not cpk._HAS_PALLAS, reason='pallas unavailable')
+def test_masked_min_quantization_contract(rng):
+    """The packed-key kernel's documented contract: the SELECTED
+    neighbor's true distance is within 2^-10 relative of the true
+    minimum, even with adversarial near-ties."""
+    B, V = 1, 256
+    verts = rng.randn(B, V, 3).astype(np.float32)
+    # adversarial: rows 0..7 get two allowed neighbors at nearly
+    # identical distances (relative gap ~1e-4, inside the tie window)
+    for i in range(8):
+        d = 0.05 * (i + 1)
+        verts[0, 100 + i] = verts[0, i] + [d, 0, 0]
+        verts[0, 120 + i] = verts[0, i] + [d * (1 + 1e-4), 0, 0]
+    geomask = np.ones((V, V), bool)
+    np.fill_diagonal(geomask, False)
+    d2_k, arg_k = cpk.masked_min_dist_pallas(
+        jnp.asarray(verts), jnp.asarray(geomask.astype(np.uint8)),
+        tn=128, tm=128, interpret=True)
+    # brute force truth
+    diff = verts[0][:, None] - verts[0][None]
+    d2_true = (diff ** 2).sum(-1)
+    d2_true[~geomask] = np.inf
+    true_min = d2_true.min(axis=1)
+    # the kernel returns the exact distance of its SELECTED index
+    sel = np.asarray(arg_k[0])
+    sel_d2 = d2_true[np.arange(V), sel]
+    rel = (np.sqrt(sel_d2) - np.sqrt(true_min)) / np.sqrt(true_min)
+    assert rel.max() <= 2 ** -10, rel.max()
