@@ -393,3 +393,44 @@ def test_loader_propagates_worker_errors(synth_data, tmp_path):
                               num_workers=2, seed=0)
     with pytest.raises(RuntimeError, match='corrupt sample'):
         list(loader.epoch_iter(LoaderState(0, 0, 0)))
+
+
+def test_mixed_dataset_shares_match_reference_weighting(monkeypatch):
+    """Meta 'dsc' expansion + in-group size re-weighting: each DSC subset
+    draws with share composition_share * len_i / group_len (reference
+    mixed_dataset.py:33-71), and the empirical draw matches."""
+    from types import SimpleNamespace
+    from tuch_tpu.data import mixed as mixed_mod
+
+    sizes = {'dsc_lspet': 60, 'dsc_lsp': 30, 'dsc_df': 10, 'mtp': 50}
+
+    class DummyDS:
+        def __init__(self, options, name, split='train', dataset_id=0,
+                     **kw):
+            self.name = name
+            self._n = sizes[name]
+
+        def __len__(self):
+            return self._n
+
+        def get(self, index, epoch=0):
+            return {'dataset_name': self.name}
+
+    monkeypatch.setattr(mixed_mod, 'TuchDataset', DummyDS)
+    opts = SimpleNamespace(ds_names=['dsc', 'mtp'],
+                           ds_composition=[0.6, 0.4], seed=0)
+    md = mixed_mod.MixedDataset(opts, 'train')
+    # partition: each subset 0.6 * len/100, then mtp 0.4
+    shares = np.diff(np.concatenate([[0.0], md.partition]))
+    expect = {'dsc_lspet': 0.6 * 0.6, 'dsc_lsp': 0.6 * 0.3,
+              'dsc_df': 0.6 * 0.1, 'mtp': 0.4}
+    for name, share in zip(md.dataset_list, shares):
+        np.testing.assert_allclose(share, expect[name], atol=1e-9)
+    # empirical draw over many indices approximates the shares
+    N = 4000
+    counts = {}
+    for i in range(N):
+        nm = md.get(i)['dataset_name']
+        counts[nm] = counts.get(nm, 0) + 1
+    for name, share in expect.items():
+        assert abs(counts.get(name, 0) / N - share) < 0.03, (name, counts)
