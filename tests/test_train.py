@@ -434,3 +434,31 @@ def test_mixed_dataset_shares_match_reference_weighting(monkeypatch):
         counts[nm] = counts.get(nm, 0) + 1
     for name, share in expect.items():
         assert abs(counts.get(name, 0) / N - share) < 0.03, (name, counts)
+
+
+def test_augmentation_distribution_matches_reference(synth_data, tmp_path):
+    """Statistical check of augm_params against the reference's documented
+    distribution (base_dataset.py:163-190): flip p=1/2, rot zeroed
+    w.p. 0.6 else clipped N(0, rf) within [-2rf, 2rf], scale clipped
+    N(1, sf) within [1+-sf], channel noise uniform [1+-nf]."""
+    from tuch_tpu.data.dataset import TuchDataset
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    N = 4000
+    draws = [ds.augm_params(i, epoch=0) for i in range(N)]
+    flips = np.array([d[0] for d in draws])
+    pns = np.stack([d[1] for d in draws])
+    rots = np.array([d[2] for d in draws])
+    scs = np.array([d[3] for d in draws])
+    o = opts
+    assert abs(flips.mean() - 0.5) < 0.03
+    assert abs((rots == 0).mean() - 0.6) < 0.03
+    nz = rots[rots != 0]
+    assert np.all(np.abs(nz) <= 2 * o.rot_factor + 1e-6)
+    assert abs(nz.std() - o.rot_factor) / o.rot_factor < 0.15
+    assert np.all((scs >= 1 - o.scale_factor - 1e-6)
+                  & (scs <= 1 + o.scale_factor + 1e-6))
+    assert abs(scs.mean() - 1.0) < 0.02
+    assert np.all((pns >= 1 - o.noise_factor) & (pns <= 1 + o.noise_factor))
+    assert abs(pns.mean() - 1.0) < 0.02
