@@ -176,3 +176,37 @@ def test_crop_image_fully_outside_returns_zeros():
     out = crop_image(img, (130, 110), 0.05, (64, 64))
     assert out.shape == (64, 64, 3)
     assert np.all(out == 0)
+
+
+def test_flip_and_rotation_involutions():
+    """flip twice == identity; rotating the global orient by r then -r
+    round-trips (the augmentation/fits-writeback pair relies on this)."""
+    from tuch_tpu.data.transforms import (flip_kp, flip_pose_np, flip_img,
+                                          rot_aa_np)
+    rng = np.random.RandomState(0)
+    kp = rng.randn(49, 3).astype(np.float32)
+    np.testing.assert_allclose(flip_kp(flip_kp(kp)), kp, atol=1e-7)
+    pose = (rng.randn(72) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(flip_pose_np(flip_pose_np(pose)), pose,
+                               atol=1e-7)
+    img = rng.rand(8, 6, 3).astype(np.float32)
+    np.testing.assert_array_equal(flip_img(flip_img(img)), img)
+    aa = (rng.randn(3) * 0.8).astype(np.float32)
+    back = rot_aa_np(rot_aa_np(aa, 37.0), -37.0)
+    np.testing.assert_allclose(back, aa, atol=1e-5)
+
+
+def test_uncrop_inverts_crop_inside_region():
+    """uncrop(crop(img)) reproduces the source inside the crop region
+    (imutils.py:108-133 semantics; nearest-neighbor paste tolerance)."""
+    from tuch_tpu.data.transforms import crop_image, uncrop_image
+    rng = np.random.RandomState(1)
+    # smooth image so bilinear-vs-nearest differences stay small
+    base = rng.rand(6, 6, 3).astype(np.float32)
+    img = np.kron(base, np.ones((20, 20, 1))).astype(np.float32)
+    center, scale = (60, 60), 0.4  # 80x80 region
+    crop = crop_image(img, center, scale, (64, 64))
+    back = uncrop_image(crop, center, scale, img.shape[:2])
+    lo, hi = 60 - 30, 60 + 30  # interior of the crop region
+    diff = np.abs(back[lo:hi, lo:hi] - img[lo:hi, lo:hi])
+    assert np.median(diff) < 0.05
