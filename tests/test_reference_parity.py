@@ -314,3 +314,19 @@ def test_body_fitting_loss_matches_reference(rng, tmp_path):
         jnp.asarray(cam_t), jnp.asarray(center), jnp.asarray(kp2d),
         jnp.asarray(conf), ours_prior))
     np.testing.assert_allclose(ours, ref, rtol=5e-5)
+
+
+def test_estimate_translation_matches_reference_np(rng):
+    """Batched weighted-lstsq camera translation vs the reference's
+    per-sample numpy solver on identical inputs (geometry.py:114-153)."""
+    B, J = 4, 25
+    S = (rng.randn(B, J, 3) * 0.3 + [0, 0, 0.5]).astype(np.float32)
+    kp = np.concatenate(
+        [rng.uniform(20, 200, (B, J, 2)), rng.rand(B, J, 1)],
+        axis=-1).astype(np.float32)
+    ref = np.stack([ref_geometry.estimate_translation_np(
+        S[b].astype(np.float64), kp[b, :, :2].astype(np.float64),
+        kp[b, :, 2].astype(np.float64)) for b in range(B)])
+    ours = np.asarray(projection.estimate_translation(
+        jnp.asarray(S), jnp.asarray(kp)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
