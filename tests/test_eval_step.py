@@ -68,3 +68,17 @@ def test_report_contact_subsets_partition():
     np.testing.assert_allclose(out['mpjpe_contact'],
                                1000 * (0.05 + 0.08) / 2)
     np.testing.assert_allclose(out['mpjpe'], 1000 * mp.mean())
+
+
+def test_eval_cli_result_file_dump(tmp_path, monkeypatch):
+    """--result_file writes the predictions npz (reference eval.py:206-215
+    dumps to out/<file>)."""
+    monkeypatch.chdir(tmp_path)
+    from tuch_tpu.cli.eval import main as eval_main
+    eval_main(['--synthetic', '--synthetic_num_verts', '170',
+               '--dataset', '3dpw', '--batch_size', '4',
+               '--synthetic_samples', '8', '--num_workers', '0',
+               '--result_file', 'res.npz'])
+    d = np.load(tmp_path / 'out' / 'res.npz')
+    assert d['pose'].shape[1:] == (24, 3, 3)
+    assert d['mpjpe'].shape == (8,)
