@@ -355,3 +355,38 @@ def test_crop_image_native_matches_numpy(monkeypatch):
             b = T.crop_image(img, center, scale, (64, 64), rot=rot)
         np.testing.assert_allclose(a, b, atol=0.51,  # 1/2 LSB of uint8
                                    err_msg=f'{center} {scale} {rot}')
+
+
+def test_exported_checkpoint_runs_in_torch_reference_graph():
+    """Strongest interop check: our flax weights, exported with the
+    reference key names, run through the functional-torch REFERENCE
+    graph and reproduce our own forward to fp tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tuch_tpu.models import convert, hmr as hmr_mod, torch_ref
+
+    mean_pose = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), 24)
+    mean_shape = np.zeros(10, np.float32)
+    mean_cam = np.array([0.9, 0, 0], np.float32)
+    model = hmr_mod.create_hmr(mean_pose, mean_shape, mean_cam)
+    variables = hmr_mod.init_hmr(model, jax.random.PRNGKey(3), img_res=64)
+
+    sd = convert.convert_to_torch_state_dict(
+        jax.device_get(variables))
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32) * 0.2
+
+    pose_t, betas_t, cam_t = torch_ref.torch_hmr_forward(
+        sd, imgs, mean_pose, mean_shape, mean_cam)
+
+    rotmat_j, betas_j, cam_j = model.apply(variables, jnp.asarray(imgs),
+                                           train=False)
+    from tuch_tpu.utils.rotations import rot6d_to_rotmat
+    rotmat_t = np.asarray(rot6d_to_rotmat(jnp.asarray(pose_t)))
+    np.testing.assert_allclose(rotmat_t.reshape(2, 24, 3, 3),
+                               np.asarray(rotmat_j), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(betas_t),
+                               np.asarray(betas_j), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cam_t),
+                               np.asarray(cam_j), atol=5e-4)
