@@ -390,3 +390,32 @@ def test_exported_checkpoint_runs_in_torch_reference_graph():
                                np.asarray(betas_j), atol=5e-4)
     np.testing.assert_allclose(np.asarray(cam_t),
                                np.asarray(cam_j), atol=5e-4)
+
+
+def test_merged_eft_db_loads_as_training_dataset(tmp_path):
+    """The EFT merge output must round-trip into TuchDataset as a
+    dsc_*_eft training db (the reference trains on these files with
+    '--ds_names dsc_eft ...')."""
+    import tempfile
+    from tuch_tpu.fitting.eft import merge_shards
+    from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+    from tuch_tpu import config as cfgmod
+    import joblib
+
+    d = tempfile.mkdtemp()
+    base = synthetic_db(6, img_dir=d, seed=0, num_contact_classes=3)
+    shard = str(tmp_path / 's0.npz')
+    rng = np.random.RandomState(0)
+    np.savez(shard, pose=rng.randn(6, 72).astype(np.float32),
+             betas=rng.randn(6, 10).astype(np.float32),
+             indices=np.arange(6))
+    out = merge_shards([shard], base,
+                       str(tmp_path / 'dsc_df_eft_train.pt'))
+    db = joblib.load(out)
+    opts = cfgmod.TrainConfig(name='t', log_dir=str(tmp_path),
+                              num_workers=0, img_res=64)
+    opts.finalize()
+    ds = TuchDataset(opts, 'dsc_df_eft', data=db, img_dir=d,
+                     num_contact_classes=3)
+    s = ds.get(0)
+    assert s['pose'].shape == (72,) and s['has_pgt_smpl'] > 0
