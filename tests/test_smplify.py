@@ -131,3 +131,96 @@ def test_smplify_exterior_refresh_gt1_converges(tiny_smpl, rng):
     # two fits stay close after 9 small Adam steps
     d = float(jnp.abs(res3.pose - res1.pose).max())
     assert d < 0.05, f'refresh-K fit diverged from K=1 fit: {d}'
+
+
+def test_smplify_contact_compaction_matches_full(tiny_smpl, rng):
+    """capacity >= #active must reproduce the full-batch fit: the contact
+    terms are computed on the gathered sub-batch and scattered back, so
+    the Adam trajectory is numerically the same program restricted to
+    active rows (reference gather semantics, tuch/smplify/losses.py:73)."""
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng, B=4)
+    B = 4
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.1
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+    ignore = jnp.asarray([False, True, False, True])
+    args = (jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+            jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+            ignore, jnp.ones(B, bool), jnp.zeros(B, bool))
+
+    def fit(cap):
+        cfg = S.SMPLifyConfig(num_iters=6, use_contact=True, euclthres=0.02,
+                              contact_capacity=cap)
+        return jax.jit(lambda *a: S.smplify_dc(model, prior, ca, *a,
+                                               config=cfg))(*args)
+
+    full = fit(0)
+    compact = fit(2)
+    np.testing.assert_allclose(np.asarray(compact.pose),
+                               np.asarray(full.pose), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(compact.vertices),
+                               np.asarray(full.vertices), atol=1e-5)
+    assert float(compact.contact_truncated_frac) == 0.0
+    assert full.contact_truncated_frac is None
+
+
+def test_smplify_contact_compaction_overflow_reported(tiny_smpl, rng):
+    """capacity < #active: overflow samples lose their contact term (never
+    silently -- contact_truncated_frac reports the dropped fraction) but
+    are still reprojection-optimized."""
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng, B=4)
+    B = 4
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.2
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+    args = (jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+            jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+            jnp.asarray([False, False, False, True]), jnp.ones(B, bool),
+            jnp.zeros(B, bool))
+    cfg = S.SMPLifyConfig(num_iters=6, use_contact=True, euclthres=0.02,
+                          contact_capacity=1)
+    res = jax.jit(lambda *a: S.smplify_dc(model, prior, ca, *a,
+                                          config=cfg))(*args)
+    assert np.isfinite(np.asarray(res.vertices)).all()
+    # 3 active, capacity 1 -> 2/3 dropped
+    np.testing.assert_allclose(float(res.contact_truncated_frac), 2.0 / 3.0,
+                               atol=1e-6)
+    init_reproj = S.get_fitting_loss(
+        model, prior, jnp.asarray(init_pose), jnp.asarray(gt_betas),
+        jnp.asarray(t_gt), jnp.asarray(cc), jnp.asarray(kp2d))
+    assert float(res.reprojection_loss.sum()) < float(init_reproj.sum())
+
+
+def test_smplify_compaction_with_candidate_k(tiny_smpl, rng):
+    """Compaction composes with candidate_k: the exact seed + sticky
+    refresh run on the compacted sub-batch; result stays close to the
+    uncompacted candidate_k fit."""
+    model, prior, ca, extras, gt_pose, gt_betas, t_gt, cc, kp2d = \
+        setup_problem(tiny_smpl, rng, B=4)
+    B = 4
+    init_pose = gt_pose + rng.randn(*gt_pose.shape).astype(np.float32) * 0.1
+    P = len(extras.contact_classes)
+    gt_contact = np.zeros((B, P), np.float32)
+    gt_contact[:, 0] = 1
+    ignore = jnp.asarray([False, True, False, True])
+    args = (jnp.asarray(init_pose), jnp.asarray(gt_betas), jnp.asarray(t_gt),
+            jnp.asarray(cc), jnp.asarray(kp2d), jnp.asarray(gt_contact),
+            ignore, jnp.ones(B, bool), jnp.zeros(B, bool))
+    V = model.v_template.shape[0]
+
+    def fit(cap):
+        cfg = S.SMPLifyConfig(num_iters=6, use_contact=True, euclthres=0.02,
+                              contact_candidate_k=max(8, V // 4),
+                              exterior_refresh_every=2,
+                              contact_capacity=cap)
+        return jax.jit(lambda *a: S.smplify_dc(model, prior, ca, *a,
+                                               config=cfg))(*args)
+
+    full = fit(0)
+    compact = fit(2)
+    np.testing.assert_allclose(np.asarray(compact.pose),
+                               np.asarray(full.pose), atol=1e-5)

@@ -462,3 +462,17 @@ def test_augmentation_distribution_matches_reference(synth_data, tmp_path):
     assert abs(scs.mean() - 1.0) < 0.02
     assert np.all((pns >= 1 - o.noise_factor) & (pns <= 1 + o.noise_factor))
     assert abs(pns.mean() - 1.0) < 0.02
+
+
+def test_train_step_smplify_contact_capacity(tiny_runtime, tmp_path):
+    """smplify_contact_capacity routes the in-loop contact terms through
+    the fixed-capacity compaction and surfaces the truncation metric."""
+    state, out = run_steps(tiny_runtime, tmp_path, n=1, run_smplify=True,
+                           num_smplify_iters=2, contact_loss_weight=0.0,
+                           smplify_threshold=1e9,
+                           smplify_contact_capacity=1)
+    m, _ = out[0]
+    assert np.isfinite(float(m['loss']))
+    # batch has 1 GT-SMPL (ignored) + 1 active contact sample, capacity 1
+    # -> nothing truncated
+    assert float(m['smplify_contact_truncated_frac']) == 0.0

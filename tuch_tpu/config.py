@@ -136,6 +136,13 @@ class TrainConfig:
     # applied to BOTH the in-loop smplify and the regressor contact loss
     # (0 = reference semantics: test all V; see losses/smplify.py)
     contact_candidate_k: int = 0
+    # run the in-loop contact quadratics only for (up to) this many
+    # contact-active samples per batch, like the reference's opti_bidxs
+    # gather (tuch/smplify/losses.py:73-74). 0 = full batch. EXACT
+    # whenever capacity >= #active samples (e.g. batch_size//2 + margin in
+    # the dsc+mtp 0.5/0.5 config); overflow is dropped from the contact
+    # terms and reported as train metric smplify_contact_truncated_frac
+    smplify_contact_capacity: int = 0
 
     # TPU-native additions
     # Opt-in fix of the reference's dead j3d rotation branch

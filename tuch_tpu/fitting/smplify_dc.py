@@ -46,8 +46,17 @@ class SMPLifyConfig(NamedTuple):
     exterior_refresh_every: int = 1
     # Evaluate the winding in/out test only at the K vertices nearest a
     # geodesically-distant neighbor (0 == reference semantics: all V).
-    # Opt-in approximation; see losses/smplify.py contact_neighbors.
+    # Opt-in approximation; see losses/smplify.py contact_candidate_k.
     contact_candidate_k: int = 0
+    # Fixed-capacity compaction of the contact terms: run the quadratic
+    # winding / nearest-vertex machinery only for (up to) this many
+    # contact-active samples (~ignore_idxs), like the reference's
+    # opti_bidxs gather (tuch/smplify/losses.py:73-74). 0 == full batch
+    # (no-op). EXACT semantics whenever capacity >= #active; overflow is
+    # dropped from the contact terms and reported in
+    # SMPLifyResult.contact_truncated_frac (never silent). When a cp mesh
+    # is used, capacity must be a multiple of mesh dp.
+    contact_capacity: int = 0
     # Optional ('dp', 'cp') jax.sharding.Mesh: cp > 1 shards the contact
     # quadratics' triangle/column axes (parallel/contact_parallel.py).
     # Static (closed over at trace time), never a traced argument.
@@ -62,6 +71,9 @@ class SMPLifyResult(NamedTuple):
     camera_translation: jnp.ndarray  # (B, 3)
     reprojection_loss: jnp.ndarray  # (B, 49) per-joint final reproj term
     trajectory: Optional[jnp.ndarray] = None  # (T, B, V, 3) if collected
+    # fraction of contact-active samples beyond contact_capacity (None
+    # when compaction is off; 0.0 when on and nothing overflowed)
+    contact_truncated_frac: Optional[jnp.ndarray] = None
 
 
 def _run_adam(loss_fn, params, num_iters, lr, collect=None):
@@ -136,8 +148,20 @@ def smplify_dc(model: SMPLModel,
                                p['global_orient'])
             return out.vertices
 
+    trunc_frac = None
     if config.use_contact:
         K = max(1, config.exterior_refresh_every)
+
+        # Fixed-capacity compaction: only contact-active samples pay the
+        # quadratic winding / nearest-vertex cost (the reference's
+        # opti_bidxs gather, tuch/smplify/losses.py:73-74).
+        B = body_pose0.shape[0]
+        cap = int(config.contact_capacity)
+        compact_idx = None
+        if 0 < cap < B:
+            active = ~ignore_idxs.astype(bool)
+            compact_idx = L.compact_take(active, cap)
+            trunc_frac = L.compact_overflow_frac(active, cap)
 
         def body_loss(p, neighbors):
             out = smpl_forward(model, betas1, p['body_pose'],
@@ -149,14 +173,18 @@ def smplify_dc(model: SMPLModel,
                 has_discrete_contact, config.euclthres,
                 focal_length=config.focal_length,
                 contact_loss_weight=config.contact_loss_weight,
-                cached_neighbors=neighbors, mesh=config.mesh)
+                cached_neighbors=neighbors, mesh=config.mesh,
+                compact_idx=compact_idx)
 
         Kc = max(0, int(config.contact_candidate_k))
 
         def compute_neighbors(p, prev_exterior=None, candidate_k=Kc):
             out = smpl_forward(model, betas1, p['body_pose'],
                                p['global_orient'])
-            return L.contact_neighbors(out.vertices, assets,
+            verts = out.vertices
+            if compact_idx is not None:
+                verts = verts[compact_idx]
+            return L.contact_neighbors(verts, assets,
                                        mesh=config.mesh,
                                        candidate_k=candidate_k,
                                        prev_exterior=prev_exterior)
@@ -241,7 +269,8 @@ def smplify_dc(model: SMPLModel,
         betas=jax.lax.stop_gradient(betas2),
         camera_translation=jax.lax.stop_gradient(cam_t),
         reprojection_loss=jax.lax.stop_gradient(reproj),
-        trajectory=traj if config.collect_trajectory else None)
+        trajectory=traj if config.collect_trajectory else None,
+        contact_truncated_frac=trunc_frac)
 
 
 def get_fitting_loss(model: SMPLModel, prior: GMMPrior,

@@ -241,6 +241,28 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
     return exterior, argmin
 
 
+def compact_take(active: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Indices of the first `capacity` active samples (stable order).
+
+    The reference only runs the quadratic contact machinery for
+    `opti_bidxs = where(~ignore_idxs)` (tuch/smplify/losses.py:73-74); under
+    jit that data-dependent gather becomes a FIXED-capacity one: active
+    samples first (original order preserved), inactive samples filling the
+    tail. When more than `capacity` samples are active the overflow is
+    dropped from the contact terms (callers must surface that in a metric,
+    never silently).
+    """
+    order = jnp.argsort((~active).astype(jnp.int32), stable=True)
+    return order[:capacity].astype(jnp.int32)
+
+
+def compact_overflow_frac(active: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Fraction of active samples beyond the compaction capacity."""
+    n_active = active.sum()
+    return (jnp.maximum(n_active - capacity, 0)
+            / jnp.maximum(n_active, 1)).astype(jnp.float32)
+
+
 def zero_safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """||diff|| with a ZERO gradient at exactly-coincident points.
 
@@ -290,7 +312,7 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
                          pose_prior_weight=1.0,
                          contact_loss_weight=1000.0,
                          cached_neighbors=None, mesh=None,
-                         candidate_k=0):
+                         candidate_k=0, compact_idx=None):
     """Stage-2 loss with self-contact, scalar.
 
     Fully-batched equivalent of tuch/smplify/losses.py:34-123:
@@ -299,20 +321,37 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
     where contact_b and r2r_b are masked to ~ignore_idxs (samples with GT
     SMPL are not contact-optimized) and r2r additionally to
     has_discrete_contact.
+
+    compact_idx: optional (C,) sample indices (compact_take) restricting
+    the quadratic winding / nearest-vertex terms to a fixed-capacity
+    sub-batch of contact-active samples -- the reference's
+    `opti_bidxs = where(~ignore_idxs)` loop (tuch/smplify/losses.py:73-74)
+    under static shapes. Per-sample contact energies are scattered back, so
+    with capacity >= #active the loss is identical to the full pass while
+    the dominant cost drops from B x (VxF + VxV) to C x (...). When given,
+    cached_neighbors must hold (C, V)-shaped arrays.
     """
     reproj = reprojection_term(model_joints, camera_t, camera_center,
                                joints_2d, joints_conf, focal_length,
                                sigma).sum(axis=-1)
     pose_prior_l = (pose_prior_weight ** 2) * gmm_prior_nll(prior, body_pose)
 
+    B = verts.shape[0]
+    cverts = verts if compact_idx is None else verts[compact_idx]
     if cached_neighbors is None:
-        exterior, argmin = contact_neighbors(verts, assets, mesh=mesh,
+        exterior, argmin = contact_neighbors(cverts, assets, mesh=mesh,
                                              candidate_k=candidate_k)
     else:
         exterior, argmin = cached_neighbors
-    v2v_min = contact_distances(verts, argmin)
+    v2v_min = contact_distances(cverts, argmin)
     in_contact = jax.lax.stop_gradient(v2v_min) < euclthres
     contact_b = push_pull_terms(exterior, v2v_min, in_contact)
+    if compact_idx is not None:
+        # compact_take indices are unique, so .set scatters each sub-batch
+        # energy to its sample; overflow-active samples (beyond capacity)
+        # keep 0 here -- callers report compact_overflow_frac.
+        contact_b = jnp.zeros((B,), contact_b.dtype).at[compact_idx].set(
+            contact_b)
 
     # Region-to-region term for discretely annotated contact pairs: the sum
     # over annotated pairs of the min squared inter-region distance.

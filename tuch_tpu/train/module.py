@@ -61,6 +61,17 @@ def region_contact_signature(verts: jnp.ndarray,
         assets.region_mask_a, assets.region_mask_b)
 
 
+def _round_capacity(cap: int, mesh) -> int:
+    """Round the smplify contact-compaction capacity up to a multiple of
+    mesh dp (shard_map requires the compacted batch axis to divide
+    evenly); 0 stays 0 (compaction off)."""
+    cap = int(cap)
+    if cap > 0 and mesh is not None:
+        dp = mesh.shape.get('dp', 1)
+        cap = -(-cap // dp) * dp
+    return cap
+
+
 def make_train_step(hmr_model, assets: TuchAssets, options,
                     optimizer: optax.GradientTransformation,
                     num_contact_pairs: int, mesh=None):
@@ -100,6 +111,8 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
         exterior_refresh_every=getattr(options,
                                        'smplify_exterior_refresh', 1),
         contact_candidate_k=getattr(options, 'contact_candidate_k', 0),
+        contact_capacity=_round_capacity(
+            getattr(options, 'smplify_contact_capacity', 0), mesh),
         mesh=mesh)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -174,6 +187,7 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
             o_cam_t, o_jloss = opt_cam_t, opt_joint_loss
             o_contact = opt_contact_l3
             new_fits = state.fits
+            smplify_metrics = {}
             if run_smplify:
                 pred_pose_aa = jnp.nan_to_num(rotmat_to_aa(
                     jax.lax.stop_gradient(pred_rotmat))).reshape(B, 72)
@@ -187,6 +201,9 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                     has_discrete_contact=has_disc_contact,
                     has_gt_keypoints=has_gt_kpts,
                     config=smplify_cfg)
+                if res.contact_truncated_frac is not None:
+                    smplify_metrics['smplify_contact_truncated_frac'] = \
+                        res.contact_truncated_frac
                 new_jloss = res.reprojection_loss.mean(axis=-1)
                 update = new_jloss <= o_jloss
                 new_contact = region_contact_signature(res.vertices,
@@ -232,7 +249,7 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 candidate_k=getattr(options, 'contact_candidate_k', 0))
 
             aux = dict(
-                loss_dict=loss_dict,
+                loss_dict={**loss_dict, **smplify_metrics},
                 batch_stats=new_model_state['batch_stats'],
                 fits=new_fits,
                 outputs=dict(
