@@ -5,6 +5,7 @@ extractor reads (reference: tuch/datasets/preprocess/*) and checks the
 semantic invariants of the produced .pt database.
 """
 
+import os
 import joblib
 import numpy as np
 
@@ -120,3 +121,61 @@ def test_mpi_inf_3dhp_extract(tmp_path):
     assert len(dbt['imgname']) == raw['n_test_expected']
     np.testing.assert_allclose(dbt['S'][0][JOINTS_IDX[0], :3], 0,
                                atol=1e-9)
+
+
+def test_mpi_inf_3dhp_read_calibration(tmp_path):
+    """The calibration parser recovers the synthetic extrinsics exactly
+    (reference parser semantics, mpi_inf_3dhp.py:29-43)."""
+    from tuch_tpu.data.preprocess.mpi_inf_3dhp import read_calibration
+    raw = sr.write_3dhp_raw(str(tmp_path / 'raw'), n_frames=3)
+    calib = os.path.join(raw['ds_dir'], 'S1', 'Seq1', 'camera.calibration')
+    vid_list = list(range(3)) + list(range(4, 9))
+    Ks, Rs, Ts = read_calibration(calib, vid_list)
+    assert len(Rs) == 8
+    for j, vid in enumerate(vid_list):
+        np.testing.assert_allclose(Rs[j], sr.synthetic_3dhp_camera_R(vid),
+                                   atol=1e-5)
+        np.testing.assert_allclose(Ks[j][0, 0], 1500.0, atol=1e-6)
+        # T is converted mm -> m
+        np.testing.assert_allclose(Ts[j], [0.1 * vid, -0.05, 3.0],
+                                   atol=1e-6)
+
+
+def test_mpi_inf_3dhp_static_fits_camera_folding(tmp_path):
+    """static_fits merge + fold_camera: poses land in the output db; with
+    folding the global orient is premultiplied by the video's camera
+    rotation (reference computes cam_aa at :109; folding itself is the
+    opt-in fix for world-frame fits)."""
+    raw = sr.write_3dhp_raw(str(tmp_path / 'raw'), n_frames=12)
+    # Plain extraction to learn how many samples are retained.
+    base = mpi_inf_3dhp_extract(dataset_path=raw['ds_dir'],
+                                out_path=str(tmp_path / 'b'), mode='train')
+    n = len(joblib.load(base)['imgname'])
+    assert n == 2
+    rng = np.random.RandomState(3)
+    pose = rng.randn(n, 72) * 0.3
+    fits_npz = str(tmp_path / 'mpi_inf_3dhp_spin_fits.npz')
+    np.savez(fits_npz, pose=pose, shape=rng.randn(n, 10) * 0.1)
+
+    # Reference semantics: fits merged verbatim, has_smpl defaults to 1.
+    out = mpi_inf_3dhp_extract(dataset_path=raw['ds_dir'],
+                               out_path=str(tmp_path / 'o1'), mode='train',
+                               static_fits=fits_npz)
+    db = joblib.load(out)
+    np.testing.assert_allclose(db['pose'], pose, atol=1e-12)
+    assert np.all(db['has_smpl'] == 1)
+
+    # Folding: retained samples all come from S1/Seq1 video_0.
+    out2 = mpi_inf_3dhp_extract(dataset_path=raw['ds_dir'],
+                                out_path=str(tmp_path / 'o2'),
+                                mode='train', static_fits=fits_npz,
+                                fold_camera=True)
+    db2 = joblib.load(out2)
+    R_cam = sr.synthetic_3dhp_camera_R(0)
+    for i in range(n):
+        R_expected = R_cam @ _aa_to_R(pose[i, :3])
+        np.testing.assert_allclose(_aa_to_R(db2['pose'][i, :3]),
+                                   R_expected, atol=1e-5)
+        # body pose beyond the global orient is untouched
+        np.testing.assert_allclose(db2['pose'][i, 3:], pose[i, 3:],
+                                   atol=1e-12)

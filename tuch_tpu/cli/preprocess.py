@@ -57,6 +57,14 @@ def main(argv=None):
                         '3dpw mpi-inf-3dhp')
     p.add_argument('--extract_img', action='store_true',
                    help='also extract 3DHP video frames (needs cv2)')
+    p.add_argument('--static_fits', default=None,
+                   help='3DHP train: dir holding mpi_inf_3dhp_spin_fits.npz'
+                        ' (or a direct npz path) to merge into the output '
+                        '(reference mpi_inf_3dhp.py:260-266)')
+    p.add_argument('--fold_camera', action='store_true',
+                   help='3DHP train: rotate world-frame static-fit global '
+                        'orients into each video\'s camera frame '
+                        '(reference default leaves them untouched)')
     p.add_argument('--synthetic', action='store_true',
                    help='hermetic run: write tiny synthetic RAW trees and '
                         'extract those (no downloads)')
@@ -97,7 +105,9 @@ def main(argv=None):
         elif name.startswith('mpi-inf-3dhp'):
             mode = 'test' if name.endswith('test') else 'train'
             mpi_inf_3dhp_extract(mode=mode, extract_img=args.extract_img,
-                                 out_path=out)
+                                 out_path=out,
+                                 static_fits=args.static_fits,
+                                 fold_camera=args.fold_camera)
         else:
             print('unknown dataset', name)
 

@@ -21,6 +21,36 @@ TRAIN_J17 = [4, 18, 19, 20, 23, 24, 25, 3, 5, 6, 7, 9, 10, 11, 14, 15, 16]
 TEST_J17 = [14, 11, 12, 13, 8, 9, 10, 15, 1, 16, 0, 5, 6, 7, 2, 3, 4]
 
 
+def read_calibration(calib_file, vid_list):
+    """Per-video camera intrinsics/extrinsics from `camera.calibration`.
+
+    Port of the reference parser (tuch/datasets/preprocess/
+    mpi_inf_3dhp.py:29-43): each camera occupies 7 lines; the `intrinsic`
+    line is vid*7+5 and the `extrinsic` line vid*7+6, both holding a
+    whitespace-separated 4x4 after an 11-char field prefix. Returns
+    (Ks (4,4), Rs (3,3), Ts (3,) in meters) lists aligned with vid_list.
+    """
+    Ks, Rs, Ts = [], [], []
+    with open(calib_file) as f:
+        content = f.readlines()
+    for vid_i in vid_list:
+        K = np.array([float(s)
+                      for s in content[vid_i * 7 + 5][11:-2].split()])
+        RT = np.array([float(s)
+                       for s in content[vid_i * 7 + 6][11:-2].split()])
+        K, RT = K.reshape(4, 4), RT.reshape(4, 4)
+        Ks.append(K)
+        Rs.append(RT[:3, :3])
+        Ts.append(RT[:3, 3] / 1000)
+    return Ks, Rs, Ts
+
+
+def camera_axis_angle(R: np.ndarray) -> np.ndarray:
+    """cv2.Rodrigues(R)[0].T[0] equivalent (reference :109), pure numpy."""
+    from tuch_tpu.data.transforms import rotmat_to_aa_np
+    return rotmat_to_aa_np(np.asarray(R, np.float64))
+
+
 def extract_frames(seq_path: str, vid_i: int):
     """Optional video -> jpg extraction (needs cv2)."""
     import cv2
@@ -38,11 +68,26 @@ def extract_frames(seq_path: str, vid_i: int):
 
 
 def train_data(dataset_path, out_path, scale_factor=1.2,
-               extract_img=False, subsample=10):
+               extract_img=False, subsample=10, fits_3d=None,
+               fold_camera=False):
+    """Train-set extraction (reference train_data, mpi_inf_3dhp.py:45-183).
+
+    fits_3d: optional path to a SPIN/mview static-fits npz with
+    pose/shape[/has_smpl] arrays aligned with the retained samples; merged
+    into the output like the reference (:160-176).
+
+    fold_camera: rotate the fits' global orients into each video's camera
+    frame using the per-sequence calibration (cam_aa). The reference
+    computes cam_aa (:109) but never applies it -- its SPIN fits are
+    already camera-frame -- so False is reference semantics; True is the
+    correct setting for WORLD-frame fits (e.g. the commented-out mview
+    fits path, :261-262).
+    """
     import scipy.io as sio
     h = w = 2048
     db = {k: [] for k in ('imgname', 'center', 'scale', 'part', 'S',
                           'openpose')}
+    cam_aas = []
     counter = 0
     for user_i in range(1, 9):
         for seq_i in range(1, 3):
@@ -50,9 +95,19 @@ def train_data(dataset_path, out_path, scale_factor=1.2,
             annot = sio.loadmat(osp.join(seq_path, 'annot.mat'))
             annot2, annot3 = annot['annot2'], annot['annot3']
             vid_list = list(range(3)) + list(range(4, 9))
-            for vid_i in vid_list:
+            calib_file = osp.join(seq_path, 'camera.calibration')
+            if osp.isfile(calib_file):
+                _, Rs, _ = read_calibration(calib_file, vid_list)
+                seq_cam_aa = [camera_axis_angle(R) for R in Rs]
+            elif fold_camera:
+                raise FileNotFoundError(
+                    f'fold_camera=True requires {calib_file}')
+            else:
+                seq_cam_aa = [np.zeros(3)] * len(vid_list)
+            for j, vid_i in enumerate(vid_list):
                 if extract_img:
                     extract_frames(seq_path, vid_i)
+                cam_aa = seq_cam_aa[j]
                 imgs_path = osp.join(seq_path, 'imageFrames',
                                      f'video_{vid_i}')
                 for i, img_i in enumerate(sorted(glob.glob(
@@ -86,7 +141,28 @@ def train_data(dataset_path, out_path, scale_factor=1.2,
                     db['part'].append(part)
                     db['S'].append(S)
                     db['openpose'].append(np.zeros((25, 3)))
-    db['has_smpl'] = np.zeros(len(db['imgname']))
+                    cam_aas.append(cam_aa)
+    if fits_3d is not None:
+        # Merge static fits aligned with the retained samples
+        # (reference :160-176).
+        fits = np.load(fits_3d)
+        pose = np.asarray(fits['pose'], np.float64).copy()
+        if len(pose) != len(db['imgname']):
+            raise ValueError(
+                f'static fits have {len(pose)} rows but extraction kept '
+                f'{len(db["imgname"])} samples -- the fits must come from '
+                f'the same extraction pass')
+        if fold_camera:
+            from tuch_tpu.data.preprocess.mtp import fold_camera_rotation
+            for n in range(len(pose)):
+                pose[n, :3] = fold_camera_rotation(pose[n, :3], cam_aas[n])
+        db['pose'] = pose
+        db['shape'] = np.asarray(fits['shape'])
+        db['has_smpl'] = (np.asarray(fits['has_smpl'])
+                          if 'has_smpl' in getattr(fits, 'files', fits)
+                          else np.ones(len(db['imgname'])))
+    else:
+        db['has_smpl'] = np.zeros(len(db['imgname']))
     out_file = osp.join(out_path, 'mpi_inf_3dhp_train.pt')
     joblib.dump(db, out_file)
     print(f'{len(db["imgname"])} 3DHP train samples -> {out_file}')
@@ -154,10 +230,22 @@ def test_data(dataset_path, out_path, scale_factor=1.2):
 
 
 def mpi_inf_3dhp_extract(dataset_path=None, out_path=None, mode='train',
-                         extract_img=False):
+                         extract_img=False, static_fits=None,
+                         fold_camera=False):
+    """Entry (reference mpi_inf_3dhp_extract, mpi_inf_3dhp.py:255-272).
+
+    static_fits: directory holding `mpi_inf_3dhp_spin_fits.npz`
+    (reference :264) or a direct path to a fits npz. fold_camera: see
+    train_data (False == reference semantics).
+    """
     dataset_path = dataset_path or config.IMAGE_FOLDERS['mpi-inf-3dhp']
     out_path = out_path or config.DBS_PATH
     os.makedirs(out_path, exist_ok=True)
+    fits_3d = None
+    if static_fits is not None:
+        fits_3d = (static_fits if osp.isfile(static_fits)
+                   else osp.join(static_fits, 'mpi_inf_3dhp_spin_fits.npz'))
     if mode == 'train':
-        return train_data(dataset_path, out_path, extract_img=extract_img)
+        return train_data(dataset_path, out_path, extract_img=extract_img,
+                          fits_3d=fits_3d, fold_camera=fold_camera)
     return test_data(dataset_path, out_path)

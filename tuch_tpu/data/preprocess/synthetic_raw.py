@@ -187,6 +187,41 @@ def write_pw3d_raw(root, n_frames=6, split='test', seed=0):
     return {'ds_dir': ds_dir, 'n_expected': n_actors * F - 1}
 
 
+def synthetic_3dhp_camera_R(vid: int) -> np.ndarray:
+    """Deterministic per-video extrinsic rotation (y-axis, 15*(vid+1) deg
+    -- nontrivial even for video_0, the only video with frames in the
+    synthetic tree)."""
+    a = np.deg2rad(15.0 * (vid + 1))
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def _write_3dhp_calibration(path: str, n_vids: int):
+    """camera.calibration in the layout the reference parser expects
+    (tuch/datasets/preprocess/mpi_inf_3dhp.py:29-43): 7 lines per camera,
+    `intrinsic` at offset 5 and `extrinsic` at offset 6, each an 11-char
+    field name prefix followed by a flattened 4x4."""
+    def line(key, vals=None):
+        body = '' if vals is None else ' '.join(f'{v:.6f}' for v in vals)
+        return f'{key:<10} {body} \n'
+
+    with open(path, 'w') as f:
+        for vid in range(n_vids):
+            K = np.eye(4)
+            K[0, 0] = K[1, 1] = 1500.0
+            K[0, 3] = K[1, 3] = 1024.0  # (fx, fy, cx, cy in a 4x4)
+            RT = np.eye(4)
+            RT[:3, :3] = synthetic_3dhp_camera_R(vid)
+            RT[:3, 3] = np.array([100.0 * vid, -50.0, 3000.0])  # mm
+            f.write(line('camera', [float(vid)]))
+            f.write(line('name', [float(vid)]))
+            f.write(line('sensor', [10.0, 10.0]))
+            f.write(line('size', [2048.0, 2048.0]))
+            f.write(line('animated', [0.0]))
+            f.write(line('intrinsic', K.reshape(-1)))
+            f.write(line('extrinsic', RT.reshape(-1)))
+
+
 def write_3dhp_raw(root, n_frames=12, seed=0):
     """MPI-INF-3DHP train tree (S1..S8 x Seq1..2 annot.mat; frames only
     under S1/Seq1/video_0) and test tree (TS1..TS6 annot_data.mat)."""
@@ -209,6 +244,8 @@ def write_3dhp_raw(root, n_frames=12, seed=0):
                 annot3[v, 0] = j3.reshape(n_frames, 84)
             sio.savemat(osp.join(seq_path, 'annot.mat'),
                         {'annot2': annot2, 'annot3': annot3})
+            _write_3dhp_calibration(
+                osp.join(seq_path, 'camera.calibration'), n_vids)
             if user_i == 1 and seq_i == 1:
                 frames_dir = osp.join(seq_path, 'imageFrames', 'video_0')
                 os.makedirs(frames_dir, exist_ok=True)
