@@ -27,6 +27,9 @@ def test_entry_compiles_and_runs():
 
 @pytest.mark.slow
 def test_dryrun_multichip_body():
+    """CI runs the primary shape only (incl. compaction + winding check);
+    the driver's dryrun_multichip covers the full mesh-shape matrix."""
     if len(jax.devices()) < 8:  # pragma: no cover
         pytest.skip('needs the 8-device virtual mesh (conftest)')
-    graft._dryrun_multichip_body(8)
+    graft._dryrun_one_shape(4, 2, check_winding=True,
+                            exercise_compaction=True)
