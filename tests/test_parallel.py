@@ -144,3 +144,67 @@ def test_contact_neighbors_cp_candidate_k(mesh8):
     ext_cp, arg_cp = contact_neighbors(verts, ca, mesh=mesh8, candidate_k=K)
     np.testing.assert_array_equal(np.asarray(ext_cp), np.asarray(ext_ref))
     np.testing.assert_array_equal(np.asarray(arg_cp), np.asarray(arg_ref))
+
+
+def test_eval_step_dp_sharded_matches_single_device():
+    """dp-sharded eval step == single-device eval step (SURVEY 2.8: the
+    TPU-native multi-device eval the reference lacks)."""
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.eval.evaluate import make_eval_step
+
+    runtime = rt.build_runtime(synthetic=True, num_verts=110, img_res=64,
+                               with_segments=False, with_hd=False,
+                               with_contact=False)
+    j_reg = np.asarray(runtime.smpl.J_regressor)[:17]
+    step = make_eval_step(runtime.hmr, runtime.smpl, None, None, j_reg,
+                          'mpi-inf-3dhp')
+    rng = np.random.RandomState(0)
+    B = 8
+    batch_np = {
+        'img': rng.randn(B, 64, 64, 3).astype(np.float32) * 0.1,
+        'pose_3d': np.concatenate(
+            [rng.randn(B, 24, 3) * 0.2, np.ones((B, 24, 1))],
+            -1).astype(np.float32),
+    }
+    m_ref, pa_ref, *_ = step(runtime.variables, batch_np)
+
+    mesh = pmesh.make_mesh(dp=8, cp=1)
+    variables = jax.device_put(runtime.variables, pmesh.replicated(mesh))
+    batch = pmesh.shard_batch(batch_np, mesh)
+    m_dp, pa_dp, *_ = step(variables, batch)
+    # the batch axis is sharded over 8 devices; results must agree with
+    # the single-device program bit-for-bit up to reduction reassociation
+    np.testing.assert_allclose(np.asarray(m_dp), np.asarray(m_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pa_dp), np.asarray(pa_ref),
+                               atol=1e-5)
+
+
+def test_run_evaluation_dp_sharded(tmp_path):
+    """run_evaluation(mesh=...) end-to-end on a synthetic dataset,
+    including a ragged tail batch that falls back to single-device."""
+    from tuch_tpu import runtime as rt
+    from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+    from tuch_tpu.eval.evaluate import run_evaluation
+
+    runtime = rt.build_runtime(synthetic=True, num_verts=110, img_res=64,
+                               with_segments=False, with_hd=False,
+                               with_contact=False)
+    d = str(tmp_path)
+    n = 12   # batch 8 -> one full dp batch + one ragged batch of 4
+    db = synthetic_db(n, img_dir=d, seed=0, with_pose_3d=True,
+                      img_size=96)
+    from tuch_tpu import config as cfgmod
+    opts = cfgmod.TrainConfig(img_res=64)  # not finalized: no dirs made
+    ds = TuchDataset(opts, 'mpi-inf-3dhp', data=db, img_dir=d,
+                     use_augmentation=False, split='test')
+    j_reg = np.asarray(runtime.smpl.J_regressor)[:17]
+    mesh = pmesh.make_mesh(dp=8, cp=1)
+    res_dp = run_evaluation(runtime.hmr, runtime.variables, ds,
+                            'mpi-inf-3dhp', runtime.smpl, None, None,
+                            j_reg, batch_size=8, mesh=mesh)
+    res_ref = run_evaluation(runtime.hmr, runtime.variables, ds,
+                             'mpi-inf-3dhp', runtime.smpl, None, None,
+                             j_reg, batch_size=8)
+    assert abs(res_dp['mpjpe'] - res_ref['mpjpe']) < 1e-3
+    assert abs(res_dp['pa_mpjpe'] - res_ref['pa_mpjpe']) < 1e-3

@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument('--idx', default=None,
                    help='accepted for reference compatibility; unused by '
                         'the reference too (eval.py:56)')
+    p.add_argument('--mesh_dp', type=int, default=1,
+                   help='shard eval batches over this many devices '
+                        '(data-parallel; 1 = single device)')
     p.add_argument('--synthetic', action='store_true')
     p.add_argument('--synthetic_num_verts', type=int, default=0,
                    help='--synthetic body size override (0 = full)')
@@ -83,10 +86,15 @@ def main(argv=None):
                 else:
                     smpl_f = m
 
+    mesh = None
+    if args.mesh_dp > 1:
+        from tuch_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(dp=args.mesh_dp, cp=1)
+
     result = run_evaluation(
         runtime.hmr, variables, dataset, args.dataset, runtime.smpl,
         smpl_m, smpl_f, j_reg, batch_size=args.batch_size, cnc_arr=cnc,
-        result_file=args.result_file, log_freq=args.log_freq)
+        result_file=args.result_file, log_freq=args.log_freq, mesh=mesh)
     print('*** Final Results ***')
     for k, v in result.items():
         print(f'  {k}: {v:.3f}' if isinstance(v, float) else f'  {k}: {v}')

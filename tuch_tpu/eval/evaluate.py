@@ -94,12 +94,29 @@ def run_evaluation(hmr_model, variables, dataset, dataset_name: str,
                    j_regressor_h36m, batch_size: int = 32,
                    cnc_arr: Optional[np.ndarray] = None,
                    result_file: Optional[str] = None,
-                   log_freq: int = 50) -> Dict[str, float]:
-    """Full-dataset evaluation loop (eval.py:90-215)."""
+                   log_freq: int = 50, mesh=None) -> Dict[str, float]:
+    """Full-dataset evaluation loop (eval.py:90-215).
+
+    mesh: optional ('dp', 'cp') jax.sharding.Mesh -- batches whose size
+    divides dp are sharded over the data-parallel axis (params
+    replicated); ragged tail batches fall back to single-device. The
+    reference has no multi-device eval (SURVEY.md section 2.8); this is
+    the TPU-native equivalent.
+    """
     from tuch_tpu.data.loader import CheckpointLoader, LoaderState
 
     step = make_eval_step(hmr_model, smpl_neutral, smpl_male, smpl_female,
                           j_regressor_h36m, dataset_name)
+    shard_batch = None
+    if mesh is not None and mesh.shape.get('dp', 1) > 1:
+        from tuch_tpu.parallel import mesh as pmesh
+        variables = jax.device_put(variables, pmesh.replicated(mesh))
+        dp = mesh.shape['dp']
+
+        def shard_batch(b):
+            if b['img'].shape[0] % dp == 0:
+                return pmesh.shard_batch(b, mesh)
+            return b
     loader = CheckpointLoader(dataset, batch_size=batch_size,
                               shuffle=False, num_workers=2,
                               drop_last=False)
@@ -115,6 +132,8 @@ def run_evaluation(hmr_model, variables, dataset, dataset_name: str,
 
     seen = 0
     for bi, batch in enumerate(loader.epoch_iter(LoaderState(0, 0, 0))):
+        if shard_batch is not None:
+            batch = shard_batch(batch)
         m, p, rotmat, betas, cam, pred_j = step(variables, batch)
         bsz = min(batch['img'].shape[0], n - seen)
         mpjpe[seen:seen + bsz] = np.asarray(m)[:bsz]
