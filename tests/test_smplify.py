@@ -224,3 +224,60 @@ def test_smplify_compaction_with_candidate_k(tiny_smpl, rng):
     compact = fit(2)
     np.testing.assert_allclose(np.asarray(compact.pose),
                                np.asarray(full.pose), atol=1e-5)
+
+
+def test_candidate_k_fold_blind_spot_and_sticky_recovery(tiny_smpl):
+    """Pins the documented candidate_k limitation (losses/smplify.py
+    contact_neighbors docstring) adversarially: a crumpled pose creates
+    geodesically-local fold interiors whose masked nearest-vertex distance
+    is large, so distance-ranked candidate selection alone misses them.
+    The exact-seed + sticky prev_exterior machinery must (a) expose the
+    blind spot without a seed, (b) keep every seeded interior tracked
+    through candidate refreshes, and (c) clear stale flags once the fold
+    resolves."""
+    from tuch_tpu.losses.smplify import contact_neighbors
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    V = model.v_template.shape[0]
+    K = max(8, V // 8)
+
+    # Crumpled pose (seed 4, amplitude 0.45): folds -> interior vertices.
+    prng = np.random.RandomState(4)
+    pose_fold = np.zeros((1, 72), np.float32)
+    pose_fold[:, 3:] = prng.randn(69).astype(np.float32) * 0.45
+    verts_fold = smpl_forward_pose72(
+        model, jnp.zeros((1, 10)), jnp.asarray(pose_fold)).vertices
+    ext_exact, _ = contact_neighbors(verts_fold, ca, candidate_k=0)
+    interior = ~np.asarray(ext_exact)[0]
+    assert interior.sum() >= 5, 'fixture regressed: pose no longer folds'
+
+    # (a) Blind spot: plain candidate selection misses fold interiors.
+    ext_plain, _ = contact_neighbors(verts_fold, ca, candidate_k=K)
+    missed = np.asarray(ext_plain)[0] & interior
+    assert missed.sum() > 0, (
+        'candidate heuristic now sees fold interiors -- the documented '
+        'limitation (and this test) no longer apply; update the docstring')
+
+    # (b) Sticky recovery: with the exact seed threaded as prev_exterior,
+    # every interior is retested first and stays correctly flagged.
+    ext_sticky, _ = contact_neighbors(verts_fold, ca, candidate_k=K,
+                                      prev_exterior=ext_exact)
+    np.testing.assert_array_equal(np.asarray(ext_sticky)[0][interior],
+                                  np.zeros(int(interior.sum()), bool))
+
+    # (c) No over-stick: once the fold resolves (rest pose), a candidate
+    # refresh carrying the stale interior flags must clear them (known
+    # interiors are always retested; rest pose has no interiors).
+    verts_rest = smpl_forward_pose72(
+        model, jnp.zeros((1, 10)),
+        jnp.zeros((1, 72))).vertices
+    ext_rest_exact, _ = contact_neighbors(verts_rest, ca, candidate_k=0)
+    n_stale = int(interior.sum())
+    if bool(np.asarray(ext_rest_exact)[0][interior].all()):
+        ext_recover, _ = contact_neighbors(verts_rest, ca, candidate_k=K,
+                                           prev_exterior=ext_exact)
+        assert np.asarray(ext_recover)[0][interior].all(), (
+            f'{n_stale} stale interior flags survived a candidate refresh '
+            'after the fold resolved')
