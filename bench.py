@@ -295,7 +295,11 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
         (eps, verts), _ = jax.lax.scan(body, init, None, length=n_steps)
         return eps, verts
 
-    x = jax.device_put(jnp.zeros((batch, 224, 224, 3), jnp.float32))
+    # Real-valued inputs: with zero images every conv output is zero and
+    # the bf16-vs-fp32 parity check degenerates to 0 == 0.
+    x = jax.device_put(jnp.asarray(
+        np.random.RandomState(0).randn(batch, 224, 224, 3)
+        .astype(np.float32) * 0.5))
     out = run(x)
     jax.block_until_ready(out)          # compile + warm
     best = float('inf')
@@ -518,6 +522,11 @@ def main():
         if bf16 is not None:
             extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(bf16[0], 2)
             extra['hmr_backbone_mfu_bf16'] = round(backbone_mfu(bf16[0]), 4)
+        bf16_256 = try_metric(lambda: hmr_inference_imgs_per_sec(
+            batch=256, dtype='bfloat16', n_steps=10))
+        if bf16_256 is not None:
+            extra['hmr_smpl_inference_imgs_per_sec_bf16_b256'] = round(
+                bf16_256, 2)
         if fp32 is not None and bf16 is not None:
             # bf16 accuracy label: same weights, same inputs -- max vertex
             # displacement vs the fp32 forward (meters)

@@ -217,6 +217,14 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                     update = jnp.where(has_disc_contact,
                                        update & update_contact, update)
 
+                # A/B observability for the speed knobs: how often the
+                # fitter's result beats the stored fit, and the fits-store
+                # joint-loss trajectory (train_module.py:259-271 computes
+                # but never logs these).
+                smplify_metrics['smplify_accept_rate'] = \
+                    update.astype(jnp.float32).mean()
+                smplify_metrics['opt_joint_loss_mean'] = o_jloss.mean()
+
                 sel = update[:, None]
                 o_jloss = jnp.where(update, new_jloss, o_jloss)
                 o_pose = jnp.where(sel, res.pose, o_pose)
