@@ -116,3 +116,30 @@ def test_flag_defaults_match_reference():
         diffs = {k: (v, ours[k]) for k, v in scrape(fname).items()
                  if k in ours and ours[k] != v}
         assert not diffs, f'{fname} default mismatches: {diffs}'
+
+
+def test_fast_profile_expansion(tmp_path):
+    """--fast_profile fills the measured-equivalent knob set, but any
+    explicitly-set knob wins (docs/ab_fast_knobs_r03.json is the label)."""
+    from tuch_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_config(cfgmod.TrainConfig, [
+        '--fast_profile', '--batch_size', '64', '--name', 'fp',
+        '--log_dir', str(tmp_path)])
+    assert cfg.smplify_exterior_refresh == 4
+    assert cfg.contact_candidate_k == 984
+    assert cfg.smplify_contact_capacity == 40  # 5/8 of 64
+
+    cfg2 = cfgmod.parse_config(cfgmod.TrainConfig, [
+        '--fast_profile', '--batch_size', '64',
+        '--contact_candidate_k', '512', '--name', 'fp2',
+        '--log_dir', str(tmp_path)])
+    assert cfg2.contact_candidate_k == 512      # explicit wins
+    assert cfg2.smplify_exterior_refresh == 4   # default filled
+
+    # off by default: exact reference semantics untouched
+    cfg3 = cfgmod.parse_config(cfgmod.TrainConfig, [
+        '--batch_size', '64', '--name', 'fp3', '--log_dir', str(tmp_path)])
+    assert cfg3.smplify_exterior_refresh == 1
+    assert cfg3.contact_candidate_k == 0
+    assert cfg3.smplify_contact_capacity == 0

@@ -144,6 +144,14 @@ class TrainConfig:
     # terms and reported as train metric smplify_contact_truncated_frac
     smplify_contact_capacity: int = 0
 
+    # Convenience: turn on the measured-equivalent speed configuration in
+    # one flag -- exterior refresh 4, candidate_k 984, contact capacity
+    # 5/8 of the batch. Training-outcome A/B vs exact semantics:
+    # docs/ab_fast_knobs_r03.json (accept-rate delta 0.0, fits joint-loss
+    # rel delta 4e-4, final val v2v delta 0.44mm over 8 synthetic epochs
+    # at full topology). Explicitly-set individual knobs win.
+    fast_profile: bool = False
+
     # TPU-native additions
     # Opt-in fix of the reference's dead j3d rotation branch
     # (base_dataset.py:224-233 builds the matrix but never applies it):
@@ -172,6 +180,17 @@ class TrainConfig:
     _finalized: bool = False
 
     def finalize(self):
+        if self.fast_profile:
+            # fill only knobs left at their exact-semantics defaults
+            if self.smplify_exterior_refresh == 1:
+                self.smplify_exterior_refresh = 4
+            if self.contact_candidate_k == 0:
+                self.contact_candidate_k = 984
+            if self.smplify_contact_capacity == 0:
+                # 5/8 of the batch: covers the dsc+mtp 0.5/0.5 flagship
+                # mix with margin; overflow stays visible in the
+                # smplify_contact_truncated_frac metric
+                self.smplify_contact_capacity = (5 * self.batch_size) // 8
         if not self._finalized:
             self.log_dir = os.path.join(os.path.abspath(self.log_dir),
                                         self.name)

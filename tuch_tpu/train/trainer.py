@@ -118,9 +118,14 @@ class Trainer:
                 options.batch_size, self.mesh.shape)
 
         num_pairs = int(assets.contact.region_idx_a.shape[0])
+        # donate the carried state: params/opt-state/fits buffers are
+        # updated in place on device (the trainer never reuses the old
+        # state object), saving one full copy of the training state.
+        # CPU ignores donation with a warning, so only donate on TPU.
+        donate = (0,) if jax.default_backend() == 'tpu' else ()
         self.step_fn = jax.jit(make_train_step(
             hmr_model, assets, options, self.optimizer, num_pairs,
-            mesh=self.mesh))
+            mesh=self.mesh), donate_argnums=donate)
 
         params = init_variables['params']
         batch_stats = init_variables.get('batch_stats', {})
