@@ -42,6 +42,19 @@ def main():
     args = ap.parse_args()
 
     import torch  # noqa: F401  (required: the gate executes real torch)
+    import jax
+    # the container sitecustomize force-registers the axon TPU backend;
+    # parity must compare like-for-like fp32 (torch runs on CPU), and on
+    # any backend the matmul/conv precision must be HIGHEST -- the TPU
+    # default decomposes fp32 convs through bf16 passes, which is backend
+    # truncation, not conversion error (measured: vertices 1.0e-3 on TPU
+    # default vs 1e-5-level on CPU)
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    try:
+        jax.config.update('jax_platforms', 'cpu')
+    except Exception:
+        pass
+    jax.config.update('jax_default_matmul_precision', 'highest')
     import jax.numpy as jnp
     from tuch_tpu import runtime as rt
     from tuch_tpu.models import convert as cv

@@ -157,7 +157,22 @@ def check_network_vs_torch(args) -> int:
     return 0 if ok else 1
 
 
+def _pin_parity_precision():
+    """Parity comparisons measure CONVERSION error, not backend math.
+
+    The TPU default decomposes fp32 matmuls/convs through bf16 passes;
+    measured on the synthetic gate (tools/parity_synth.py): vertices
+    differ ~1.0e-3 from torch-CPU under the TPU default vs 2.4e-7 at
+    HIGHEST precision on CPU. Pin HIGHEST so a real-checkpoint run on
+    the TPU backend is judged against the 1e-3 bar on conversion
+    fidelity alone.
+    """
+    import jax
+    jax.config.update('jax_default_matmul_precision', 'highest')
+
+
 def main(argv=None) -> int:
+    _pin_parity_precision()
     p = argparse.ArgumentParser()
     p.add_argument('--checkpoint', default=None,
                    help='reference .pt checkpoint (or converted .npz)')
