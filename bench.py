@@ -159,6 +159,7 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
             use_contact_in_the_loop=run_smplify,
             smplify_exterior_refresh=refresh, contact_candidate_k=cand_k,
             smplify_contact_capacity=capacity,
+            regressor_contact_capacity=capacity,
             contact_loss_weight=contact_w, num_workers=0)
         options.finalize()
         optimizer = optax.adam(options.lr)

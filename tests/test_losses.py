@@ -405,3 +405,58 @@ def test_candidate_prev_exterior_sticky_and_priority(tiny_smpl):
     assert int(ext_s[0, fake].sum()) == 1
     # no prev-None behavior leak: nothing else became interior
     assert (~ext_s[0]).sum() <= (~prev[0]).sum()
+
+
+def test_regressor_contact_capacity_matches_full(tiny_smpl):
+    """capacity >= #valid reproduces the full loss exactly (the loss is a
+    mean over valid samples; reference loss.py:247 skips invalid ones),
+    with and without the HD path."""
+    model, extras = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    rng = np.random.RandomState(0)
+    V = model.v_template.shape[0]
+    verts = jnp.asarray(
+        np.asarray(model.v_template)[None]
+        + 0.02 * rng.randn(4, V, 3).astype(np.float32))
+    valid = jnp.asarray([True, False, True, False])
+    hd = RL.make_hd_assets_compact(extras.hd_vert_ids, extras.hd_bary,
+                                   extras.hd_geovec,
+                                   np.asarray(model.faces))
+    for hd_arg in (None, hd):
+        full, aux_f = RL.contact_loss(verts, ca, valid, euclthres=0.02,
+                                      hd=hd_arg, hd_k=8)
+        comp, aux_c = RL.contact_loss(verts, ca, valid, euclthres=0.02,
+                                      hd=hd_arg, hd_k=8, capacity=2)
+        np.testing.assert_allclose(float(comp), float(full), rtol=1e-6)
+        assert float(aux_c['contact_valid_truncated_frac']) == 0.0
+        assert 'contact_valid_truncated_frac' not in aux_f
+
+    # gradients must agree too (invalid samples contribute zero grad)
+    g_full = jax.grad(lambda v: RL.contact_loss(
+        v, ca, valid, euclthres=0.02)[0])(verts)
+    g_comp = jax.grad(lambda v: RL.contact_loss(
+        v, ca, valid, euclthres=0.02, capacity=2)[0])(verts)
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_full),
+                               atol=1e-7)
+
+
+def test_regressor_contact_capacity_overflow_reported(tiny_smpl):
+    """capacity < #valid drops overflow-valid samples from the mean and
+    reports the dropped fraction."""
+    model, _ = tiny_smpl
+    ca = make_contact_assets(tiny_smpl)
+    rng = np.random.RandomState(1)
+    V = model.v_template.shape[0]
+    verts = jnp.asarray(
+        np.asarray(model.v_template)[None]
+        + 0.02 * rng.randn(4, V, 3).astype(np.float32))
+    valid = jnp.asarray([True, True, True, False])
+    loss, aux = RL.contact_loss(verts, ca, valid, euclthres=0.02,
+                                capacity=1)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(
+        float(aux['contact_valid_truncated_frac']), 2.0 / 3.0, atol=1e-6)
+    # the compacted loss equals the mean over the FIRST valid sample only
+    solo, _ = RL.contact_loss(verts[:1], ca, jnp.array([True]),
+                              euclthres=0.02)
+    np.testing.assert_allclose(float(loss), float(solo), rtol=1e-6)

@@ -143,6 +143,14 @@ class TrainConfig:
     # the dsc+mtp 0.5/0.5 config); overflow is dropped from the contact
     # terms and reported as train metric smplify_contact_truncated_frac
     smplify_contact_capacity: int = 0
+    # same fixed-capacity compaction for the REGRESSOR contact loss,
+    # which the reference computes only for valid_fit samples
+    # (tuch/train/loss.py:247 `for bidx in torch.where(valid_fit)[0]`).
+    # valid_fit is dynamic (threshold-passing fits + GT SMPL), so unlike
+    # the smplify capacity this can truncate in well-trained regimes --
+    # overflow is reported as train metric contact_valid_truncated_frac.
+    # 0 = off (exact: all B computed, invalid masked after)
+    regressor_contact_capacity: int = 0
 
     # Convenience: turn on the measured-equivalent speed configuration in
     # one flag -- exterior refresh 4, candidate_k 984, contact capacity

@@ -142,7 +142,7 @@ def make_hd_assets_compact(vert_ids: np.ndarray, bary: np.ndarray,
 def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
                  valid_fit: jnp.ndarray, euclthres: float,
                  hd: Optional[HDAssets] = None, hd_k: int = 1024,
-                 mesh=None, candidate_k: int = 0):
+                 mesh=None, candidate_k: int = 0, capacity: int = 0):
     """TUCH self-contact push/pull loss, batched (tuch/train/loss.py:240-317).
 
     Returns (loss, aux) where loss is the mean over valid_fit samples of
@@ -155,7 +155,27 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
     from faces with any vertex in contact" (loss.py:278-281); candidates
     beyond K are dropped, and hd_truncated_frac reports the mean dropped
     fraction so the truncation is never silent.
+
+    capacity: fixed-capacity compaction of the reference's
+    `for bidx in torch.where(valid_fit)[0]` skip (loss.py:247): the
+    quadratic machinery runs only for (up to) `capacity` valid samples.
+    Identical loss whenever capacity >= #valid (the loss is a mean over
+    valid samples and invalid ones contribute nothing either way);
+    overflow-valid samples are dropped from the mean and counted in
+    aux['contact_valid_truncated_frac']. 0 = off (all B computed).
     """
+    B = verts.shape[0]
+    aux_extra = {}
+    if 0 < capacity < B:
+        from tuch_tpu.losses.smplify import (compact_overflow_frac,
+                                             compact_take)
+        vmask = valid_fit.astype(bool)
+        idx = compact_take(vmask, capacity)
+        aux_extra['contact_valid_truncated_frac'] = \
+            compact_overflow_frac(vmask, capacity)
+        verts = verts[idx]
+        valid_fit = vmask[idx]
+
     exterior, v2v_min, in_contact = self_contact_terms(
         verts, assets, euclthres, mesh=mesh, candidate_k=candidate_k)
     if hd is not None:
@@ -166,7 +186,7 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         push = 1.0 * jnp.tanh(v2v_min / 0.04) ** 2
         per_sample = (pull * exterior).sum(-1) + (push * (~exterior)).sum(-1)
         return (_masked_mean(per_sample, valid_fit),
-                {'hd_truncated_frac': jnp.asarray(0.0)})
+                {'hd_truncated_frac': jnp.asarray(0.0), **aux_extra})
 
     def select(v, ext, d_min, in_c):
         # Candidate HD points: sampled from a face ANY of whose 3 vertices
@@ -235,7 +255,8 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
     per_sample = jax.vmap(energy)(hd_pts, hd_stop, top_idx, sel_valid,
                                   hd_ext)
     return (_masked_mean(per_sample, valid_fit),
-            {'hd_truncated_frac': _masked_mean(trunc, valid_fit)})
+            {'hd_truncated_frac': _masked_mean(trunc, valid_fit),
+             **aux_extra})
 
 
 def regressor_loss(weights: LossWeights,
@@ -247,14 +268,16 @@ def regressor_loss(weights: LossWeights,
                    contact_assets: Optional[ContactAssets] = None,
                    euclthres: float = 0.02,
                    hd: Optional[HDAssets] = None, hd_k: int = 1024,
-                   mesh=None, candidate_k: int = 0):
+                   mesh=None, candidate_k: int = 0,
+                   contact_capacity: int = 0):
     """Full training loss (tuch/train/loss.py:94-168). Returns (total, dict)."""
     loss_contact = jnp.asarray(0.0)
     contact_aux = {}
     if weights.contact > 0 and contact_assets is not None:
         loss_contact, contact_aux = contact_loss(
             pred_vertices, contact_assets, valid_fit, euclthres, hd=hd,
-            hd_k=hd_k, mesh=mesh, candidate_k=candidate_k)
+            hd_k=hd_k, mesh=mesh, candidate_k=candidate_k,
+            capacity=contact_capacity)
 
     l_pose, l_betas = smpl_param_loss(pred_rotmat, pred_betas, opt_pose,
                                       opt_betas, valid_fit, valid_fit_shape)

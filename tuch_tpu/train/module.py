@@ -254,7 +254,10 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 valid_fit, valid_fit, contact_assets=assets.contact,
                 euclthres=constants.EUCLTHRES, hd=assets.hd,
                 hd_k=getattr(options, 'hd_k', 1024), mesh=mesh,
-                candidate_k=getattr(options, 'contact_candidate_k', 0))
+                candidate_k=getattr(options, 'contact_candidate_k', 0),
+                contact_capacity=_round_capacity(
+                    getattr(options, 'regressor_contact_capacity', 0),
+                    mesh))
 
             aux = dict(
                 loss_dict={**loss_dict, **smplify_metrics},
