@@ -129,6 +129,7 @@ def test_fast_profile_expansion(tmp_path):
     assert cfg.smplify_exterior_refresh == 4
     assert cfg.contact_candidate_k == 984
     assert cfg.smplify_contact_capacity == 40  # 5/8 of 64
+    assert cfg.regressor_contact_capacity == 40
 
     cfg2 = cfgmod.parse_config(cfgmod.TrainConfig, [
         '--fast_profile', '--batch_size', '64',
@@ -143,3 +144,4 @@ def test_fast_profile_expansion(tmp_path):
     assert cfg3.smplify_exterior_refresh == 1
     assert cfg3.contact_candidate_k == 0
     assert cfg3.smplify_contact_capacity == 0
+    assert cfg3.regressor_contact_capacity == 0

@@ -199,6 +199,11 @@ class TrainConfig:
                 # mix with margin; overflow stays visible in the
                 # smplify_contact_truncated_frac metric
                 self.smplify_contact_capacity = (5 * self.batch_size) // 8
+            if self.regressor_contact_capacity == 0:
+                # valid_fit is dynamic, so this one can truncate in
+                # well-trained regimes -- contact_valid_truncated_frac
+                # stays visible per step
+                self.regressor_contact_capacity = (5 * self.batch_size) // 8
         if not self._finalized:
             self.log_dir = os.path.join(os.path.abspath(self.log_dir),
                                         self.name)
