@@ -386,7 +386,11 @@ def baseline_iters_per_sec(problem, max_samples=None, chain=5):
         d2m = jnp.where(ca.geomask[None], d2, jnp.inf)
         amin = jax.lax.stop_gradient(jnp.argmin(d2m, axis=2))
         nearest = jnp.take_along_axis(verts, amin[..., None], axis=1)
-        dmin = jnp.linalg.norm(verts - nearest, axis=-1)
+        # zero-safe (same FLOPs): the pull term drives dmin toward 0 and
+        # a bare norm has a NaN gradient there, which would silently
+        # corrupt the chained baseline timing (CLAUDE.md invariant)
+        from tuch_tpu.losses.smplify import zero_safe_norm
+        dmin = zero_safe_norm(verts - nearest)
         in_contact = jax.lax.stop_gradient(dmin) < 0.02
         push = (1.0 * jnp.tanh(dmin / 0.04) ** 2 * (~exterior)).sum()
         pull = (0.005 * jnp.tanh(dmin / 0.005) ** 2

@@ -145,3 +145,20 @@ def test_fast_profile_expansion(tmp_path):
     assert cfg3.contact_candidate_k == 0
     assert cfg3.smplify_contact_capacity == 0
     assert cfg3.regressor_contact_capacity == 0
+
+
+def test_fast_profile_explicit_exact_value_wins(tmp_path):
+    """--fast_profile with an explicitly-passed EXACT-semantics value must
+    keep that value (code-review r03 finding: default-comparison silently
+    overrode e.g. --contact_candidate_k 0)."""
+    from tuch_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_config(cfgmod.TrainConfig, [
+        '--fast_profile', '--batch_size', '64',
+        '--contact_candidate_k', '0',
+        '--smplify_exterior_refresh', '1',
+        '--name', 'fpe', '--log_dir', str(tmp_path)])
+    assert cfg.contact_candidate_k == 0          # explicit exact kept
+    assert cfg.smplify_exterior_refresh == 1     # explicit exact kept
+    assert cfg.smplify_contact_capacity == 40    # untouched -> filled
+    assert cfg.regressor_contact_capacity == 40

@@ -102,10 +102,15 @@ def main():
     ap.add_argument('--round', type=int, default=3)
     args = ap.parse_args()
 
+    # the fast arm is the FULL fast profile -- every knob config.py's
+    # fast_profile turns on, so the artifact labels exactly what users get
+    cap = (5 * args.batch) // 8
     exact = run_arm('exact', [], args)
     fast = run_arm('fast', [
         '--smplify_exterior_refresh', str(args.refresh),
-        '--contact_candidate_k', str(args.candidate_k)], args)
+        '--contact_candidate_k', str(args.candidate_k),
+        '--smplify_contact_capacity', str(cap),
+        '--regressor_contact_capacity', str(cap)], args)
 
     s_exact = summarize('exact', *exact)
     s_fast = summarize('fast', *fast)

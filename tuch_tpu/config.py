@@ -186,20 +186,35 @@ class TrainConfig:
     summary_dir: str = ''
     checkpoint_dir: str = ''
     _finalized: bool = False
+    # flag names the user set explicitly (CLI tokens / --from_json keys);
+    # populated by parse_config so fast_profile can honor an explicit
+    # exact-semantics value (e.g. --fast_profile --contact_candidate_k 0)
+    _explicit: tuple = ()
+
+    def _untouched(self, name, default):
+        """fast_profile may fill `name` only if the user did not set it.
+
+        With parse_config the _explicit record is authoritative; for
+        programmatic construction it is empty and default-comparison is
+        the best available signal.
+        """
+        if self._explicit:
+            return name not in self._explicit
+        return getattr(self, name) == default
 
     def finalize(self):
         if self.fast_profile:
-            # fill only knobs left at their exact-semantics defaults
-            if self.smplify_exterior_refresh == 1:
+            # fill only knobs the user left untouched
+            if self._untouched('smplify_exterior_refresh', 1):
                 self.smplify_exterior_refresh = 4
-            if self.contact_candidate_k == 0:
+            if self._untouched('contact_candidate_k', 0):
                 self.contact_candidate_k = 984
-            if self.smplify_contact_capacity == 0:
+            if self._untouched('smplify_contact_capacity', 0):
                 # 5/8 of the batch: covers the dsc+mtp 0.5/0.5 flagship
                 # mix with margin; overflow stays visible in the
                 # smplify_contact_truncated_frac metric
                 self.smplify_contact_capacity = (5 * self.batch_size) // 8
-            if self.regressor_contact_capacity == 0:
+            if self._untouched('regressor_contact_capacity', 0):
                 # valid_fit is dynamic, so this one can truncate in
                 # well-trained regimes -- contact_valid_truncated_frac
                 # stays visible per step
@@ -247,18 +262,27 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls):
 
 def parse_config(cls=TrainConfig, argv=None, finalize=True):
     """Build a config from CLI flags, honoring --from_json overrides."""
+    import sys
     parser = argparse.ArgumentParser()
     _add_dataclass_args(parser, cls)
     args = parser.parse_args(argv)
     cfg = cls(**{k: v for k, v in vars(args).items()
                  if k in {f.name for f in dataclasses.fields(cls)}})
+    known = {f.name for f in dataclasses.fields(cls)}
+    # record which flags the user actually typed, so fast_profile never
+    # overrides an explicitly-passed exact-semantics value
+    tokens = list(sys.argv[1:] if argv is None else argv)
+    explicit = {n for n in known
+                if any(t == f'--{n}' or t.startswith(f'--{n}=')
+                       or t == f'--no_{n}' for t in tokens)}
     if cfg.from_json:
         with open(cfg.from_json) as f:
             overrides = json.load(f)
-        known = {f.name for f in dataclasses.fields(cls)}
         for k, v in overrides.items():
-            if k in known:
+            if k in known and not k.startswith('_'):
                 setattr(cfg, k, v)
+                explicit.add(k)
+    cfg._explicit = tuple(sorted(explicit))
     if finalize:
         cfg.finalize()
     return cfg
