@@ -188,6 +188,13 @@ class Trainer:
         if prof_range:
             prof_lo, prof_hi = (int(x) for x in prof_range.split(':'))
         t_last = time.time()
+        # Metrics logging is pipelined one step behind: converting device
+        # metrics to floats blocks on the step, so logging step N only
+        # AFTER step N+1 is dispatched keeps the device busy while the
+        # host reads results / prepares the next batch. The step counter
+        # is tracked host-side for the same reason.
+        step = int(np.asarray(self.state.step))
+        pending = None  # (metrics dict of device arrays, step, epoch, bi)
         for bi, batch in enumerate(self.loader.epoch_iter(state_iter),
                                    start=start):
             if bi == prof_lo:
@@ -200,17 +207,15 @@ class Trainer:
                 from tuch_tpu.parallel import mesh as pmesh
                 batch = pmesh.shard_batch(batch, self.mesh)
             self.state, metrics, outputs = self.step_fn(self.state, batch)
-            step = int(np.asarray(self.state.step))
+            step += 1
 
+            if pending is not None:
+                self._log_train_metrics(*pending)
             now = time.time()
             metrics = dict(metrics)
             metrics['steps_per_sec'] = 1.0 / max(now - t_last, 1e-9)
             t_last = now
-            self.logger.scalars('train', metrics, step)
-            if step % 25 == 0:
-                msg = ', '.join(f'{k}: {float(np.asarray(v)):.4f}'
-                                for k, v in metrics.items())
-                print(f'[{epoch}:{bi}/{nb}] {msg}', flush=True)
+            pending = (metrics, step, epoch, bi)
 
             if self.renderer is not None and step % summary_steps == 0:
                 self._image_summaries(batch, outputs, step)
@@ -227,6 +232,16 @@ class Trainer:
                     self.options.checkpoint_dir)
             if time.time() > self.endtime:
                 break
+        if pending is not None:
+            self._log_train_metrics(*pending)
+
+    def _log_train_metrics(self, metrics, step, epoch, bi):
+        nb = self.loader.num_batches()
+        self.logger.scalars('train', metrics, step)
+        if step % 25 == 0:
+            msg = ', '.join(f'{k}: {float(np.asarray(v)):.4f}'
+                            for k, v in metrics.items())
+            print(f'[{epoch}:{bi}/{nb}] {msg}', flush=True)
 
     # ------------------------------------------------------------------
     def _make_val_fn(self):
