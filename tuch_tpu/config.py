@@ -153,11 +153,12 @@ class TrainConfig:
     regressor_contact_capacity: int = 0
 
     # Convenience: turn on the measured-equivalent speed configuration in
-    # one flag -- exterior refresh 4, candidate_k 984, contact capacity
-    # 5/8 of the batch. Training-outcome A/B vs exact semantics:
-    # docs/ab_fast_knobs_r03.json (accept-rate delta 0.0, fits joint-loss
-    # rel delta 4e-4, final val v2v delta 0.44mm over 8 synthetic epochs
-    # at full topology). Explicitly-set individual knobs win.
+    # one flag -- exterior refresh 4, candidate_k 984, smplify + regressor
+    # contact capacity 5/8 of the batch. Training-outcome A/B of this FULL
+    # profile vs exact semantics: docs/ab_fast_knobs_r03.json (accept-rate
+    # delta 0.0, fits joint-loss rel delta 0.48%, final val v2v delta
+    # 0.83mm over 8 synthetic epochs at full topology). Explicitly-set
+    # individual knobs win (CLI/--from_json explicitness is tracked).
     fast_profile: bool = False
 
     # TPU-native additions
