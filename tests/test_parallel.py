@@ -208,3 +208,41 @@ def test_run_evaluation_dp_sharded(tmp_path):
                              j_reg, batch_size=8)
     assert abs(res_dp['mpjpe'] - res_ref['mpjpe']) < 1e-3
     assert abs(res_dp['pa_mpjpe'] - res_ref['pa_mpjpe']) < 1e-3
+
+
+def test_contact_fitting_loss_compacted_cp_matches_full(mesh8):
+    """Compaction composes with the cp-sharded kernels: gathering the
+    contact-active sub-batch, running the sharded quadratics on (C, V),
+    and scattering back must equal the full cp-sharded loss when the
+    capacity covers every active sample. The compacted batch axis must
+    be a multiple of mesh dp (train.module._round_capacity guarantees
+    this in production)."""
+    from tuch_tpu import assets as assets_mod
+    from tuch_tpu.losses import smplify as SL
+    from tuch_tpu.losses.prior import create_gmm_prior
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+
+    model, extras, ca, verts = _tiny_contact_problem(B=8)
+    prior = create_gmm_prior(assets_mod.synthetic_gmm_prior())
+    B = verts.shape[0]
+    rng = np.random.RandomState(7)
+    pose = jnp.asarray((rng.randn(B, 72) * 0.1).astype(np.float32))
+    out = smpl_forward_pose72(model, jnp.zeros((B, 10)), pose)
+    kp2d = jnp.asarray(rng.uniform(0, 224, (B, 49, 2)).astype(np.float32))
+    conf = jnp.ones((B, 49))
+    cam_t = jnp.asarray(np.tile([[0, 0, 20.0]], (B, 1)).astype(np.float32))
+    cc = jnp.full((B, 2), 112.0)
+    P = ca.region_idx_a.shape[0]
+    gt_contact = jnp.asarray((rng.rand(B, P) > 0.5).astype(np.float32))
+    ignore = jnp.asarray([False, True] * 4)
+
+    def loss(compact_idx):
+        return SL.contact_fitting_loss(
+            pose[:, 3:], pose[:, :3], jnp.zeros((B, 10)), out.joints,
+            out.vertices, cam_t, cc, kp2d, conf, prior, ca, gt_contact,
+            ignore, jnp.ones(B, bool), euclthres=0.02, mesh=mesh8,
+            compact_idx=compact_idx)
+
+    full = float(loss(None))
+    compact = float(loss(SL.compact_take(~ignore, 4)))  # 4 = dp multiple
+    np.testing.assert_allclose(compact, full, rtol=1e-6)
