@@ -112,3 +112,38 @@ def test_train_cli_end_to_end_synthetic(tmp_path):
     import glob as _glob
     ckpts = _glob.glob(str(tmp_path / 'clismoke' / 'checkpoints' / '*'))
     assert any(not c.endswith('.meta.json') for c in ckpts)
+
+
+def test_trainer_with_device_mesh(tmp_path):
+    """Trainer end-to-end with a ('dp', 'cp') mesh: batches sharded via
+    shard_batch, contact routed cp-sharded, pipelined logging intact."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip('needs 8 virtual devices')
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+    opts = cfgmod.TrainConfig(
+        name='tm', log_dir=str(tmp_path / 'logs'), batch_size=4,
+        num_workers=0, img_res=64, num_epochs=1, lr=1e-4,
+        run_smplify=True, num_smplify_iters=1,
+        smplify_contact_capacity=2,
+        val_and_checkpoint_freq=0.0, summary_freq=0.0, synthetic=True,
+        mesh_dp=2, mesh_cp=2)
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=110,
+                               img_res=64, with_segments=False,
+                               with_hd=False)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, None)
+    tr.fit()
+    assert int(np.asarray(tr.state.step)) == 2
+    metrics_file = os.path.join(opts.summary_dir, 'metrics.jsonl')
+    recs = [l for l in open(metrics_file)]
+    assert len(recs) >= 2  # pipelined logging flushed every step
+    import json as _json
+    last = _json.loads(recs[-1])
+    assert np.isfinite(last['train/loss'])
+    assert last['train/smplify_contact_truncated_frac'] == 0.0
