@@ -228,6 +228,10 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
     t_mixed = timed(*build(True, 1e-5), bt=batch_mixed)
     t_mixed_compact = timed(*build(True, 1e-5, capacity=B // 2),
                             bt=batch_mixed)
+    # the full fast profile on the flagship mix: compaction (exact) +
+    # refresh + candidate_k (measured-equivalent, docs/ab_fast_knobs)
+    t_mixed_fast = timed(*build(True, 1e-5, refresh=4, cand_k=1024,
+                                capacity=B // 2), bt=batch_mixed)
     breakdown = {
         'full_step_s': round(t_full, 4),
         'smplify_in_loop_s': round(t_full - t_no_smplify, 4),
@@ -240,6 +244,8 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
         'mixed_batch_imgs_per_sec_compacted': round(B / t_mixed_compact, 3),
         'compaction_speedup_mixed_batch': round(t_mixed / t_mixed_compact,
                                                 3),
+        'mixed_batch_step_s_fast_profile': round(t_mixed_fast, 4),
+        'mixed_batch_imgs_per_sec_fast_profile': round(B / t_mixed_fast, 3),
         'num_smplify_iters': num_smplify_iters,
     }
     return B / t_full, breakdown
