@@ -83,10 +83,15 @@ def test_pw3d_rotation_roundtrip():
 
 
 def test_coco_to_body25_is_injective():
-    m = constants.COCO_TO_BODY25
-    assert len(m) == 17
-    assert len(set(m)) == 17
-    assert max(m) < 25
+    for m, n in ((constants.COCO_TO_BODY25, 17),
+                 (constants.COCO18_TO_BODY25, 18)):
+        assert len(m) == n
+        assert len(set(m)) == n
+        assert max(m) < 25
+    # COCO-18 is OpenPose order: identity through the arm joints, skip
+    # the BODY25 midhip slot (8)
+    assert constants.COCO18_TO_BODY25[:8] == list(range(8))
+    assert 8 not in constants.COCO18_TO_BODY25
 
 
 def test_error_measures():

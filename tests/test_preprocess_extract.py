@@ -179,3 +179,32 @@ def test_mpi_inf_3dhp_static_fits_camera_folding(tmp_path):
         # body pose beyond the global orient is untouched
         np.testing.assert_allclose(db2['pose'][i, 3:], pose[i, 3:],
                                    atol=1e-12)
+
+
+def test_mpi_inf_3dhp_subsample_one_keeps_all(tmp_path):
+    """subsample=1 must keep every in-bounds frame (code-review r03:
+    `counter % 1 != 1` dropped everything)."""
+    from tuch_tpu.data.preprocess.mpi_inf_3dhp import train_data
+    raw = sr.write_3dhp_raw(str(tmp_path / 'raw'), n_frames=5)
+    out = train_data(raw['ds_dir'], str(tmp_path), subsample=1)
+    db = joblib.load(out)
+    assert len(db['imgname']) == 5
+
+
+def test_pw3d_train_keypoints_coco18(tmp_path):
+    """3DPW train export maps the official 18 OpenPose-COCO joints into
+    BODY25 slots (code-review r03: the 17-entry MSCOCO map misassigned
+    every joint after the nose)."""
+    from tuch_tpu import constants
+    raw = sr.write_pw3d_raw(str(tmp_path / 'raw'), split='train')
+    out = pw3d_extract(dataset_path=raw['ds_dir'],
+                       out_path=str(tmp_path), split='train')
+    db = joblib.load(out)
+    kp = db['openpose'][0]
+    assert kp.shape == (25, 3)
+    # every mapped BODY25 slot carries a confident joint; unmapped slots
+    # (midhip 8, feet 19+) stay zero
+    mapped = np.zeros(25, bool)
+    mapped[constants.COCO18_TO_BODY25] = True
+    assert (kp[mapped, 2] > 0).all()
+    assert (kp[~mapped] == 0).all()

@@ -476,3 +476,17 @@ def test_train_step_smplify_contact_capacity(tiny_runtime, tmp_path):
     # batch has 1 GT-SMPL (ignored) + 1 active contact sample, capacity 1
     # -> nothing truncated
     assert float(m['smplify_contact_truncated_frac']) == 0.0
+
+
+def test_loader_pads_when_batch_exceeds_dataset(synth_data, tmp_path):
+    """batch_size > dataset length must still yield full fixed-shape
+    batches (code-review r03: single-pass padding left them short)."""
+    db, img_dir = synth_data
+    opts = make_options(tmp_path)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=img_dir)
+    n = len(ds)
+    loader = CheckpointLoader(ds, batch_size=3 * n - 1, shuffle=False,
+                              num_workers=0, drop_last=False)
+    batches = list(loader.epoch_iter(LoaderState(0, 0, 0)))
+    assert len(batches) >= 1
+    assert batches[0]['img'].shape[0] == 3 * n - 1

@@ -68,7 +68,9 @@ class CheckpointLoader:
         def make_batch(bi):
             lo = bi * self.batch_size
             idxs = perm[lo:lo + self.batch_size]
-            if len(idxs) < self.batch_size:  # pad final partial batch
+            while 0 < len(idxs) < self.batch_size:
+                # pad final partial batch; loop because batch_size can
+                # exceed the dataset length (tiny --synthetic runs)
                 idxs = np.concatenate(
                     [idxs, perm[:self.batch_size - len(idxs)]])
             samples = [self._get_sample(i, state.epoch) for i in idxs]
@@ -105,8 +107,9 @@ class CheckpointLoader:
                         if stop.is_set():
                             return
                         pending.append(pool.submit(make_batch, bi))
-                        # keep a small pipeline
-                        while len(pending) > 2:
+                        # pipeline depth scales with the worker pool so
+                        # every worker can stay busy
+                        while len(pending) > max(2, self.num_workers):
                             if not put_or_stop(pending.pop(0).result()):
                                 return
                     for f in pending:

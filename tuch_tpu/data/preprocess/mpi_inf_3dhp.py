@@ -127,7 +127,7 @@ def train_data(dataset_path, out_path, scale_factor=1.2,
                     if inside.sum() < len(JOINTS_IDX):
                         continue
                     counter += 1
-                    if counter % subsample != 1:
+                    if subsample > 1 and counter % subsample != 1:
                         continue
                     part = np.zeros((24, 3))
                     part[JOINTS_IDX] = np.hstack([joints, np.ones((17, 1))])
@@ -157,7 +157,10 @@ def train_data(dataset_path, out_path, scale_factor=1.2,
             for n in range(len(pose)):
                 pose[n, :3] = fold_camera_rotation(pose[n, :3], cam_aas[n])
         db['pose'] = pose
-        db['shape'] = np.asarray(fits['shape'])
+        # the repo's dataset schema calls this 'betas'
+        # (data/dataset.py reads data['betas']); the reference npz key
+        # is 'shape' (mpi_inf_3dhp.py:173)
+        db['betas'] = np.asarray(fits['shape'])
         db['has_smpl'] = (np.asarray(fits['has_smpl'])
                           if 'has_smpl' in getattr(fits, 'files', fits)
                           else np.ones(len(db['imgname'])))

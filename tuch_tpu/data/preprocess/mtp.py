@@ -16,10 +16,9 @@ import joblib
 import numpy as np
 
 from tuch_tpu import config, constants
-from tuch_tpu.data.preprocess.dsc import OP_TO_12
+from tuch_tpu.data.preprocess.dsc import (OP_MAJOR_JOINTS,
+                                          OP_TO_12)
 
-OP_MAJOR_JOINTS = ('OP RAnkle', 'OP LAnkle', 'OP RHip', 'OP LHip',
-                   'OP RShoulder', 'OP LShoulder', 'OP RKnee', 'OP LKnee')
 
 
 def select_center_person(openpose_json: dict, imgshape):

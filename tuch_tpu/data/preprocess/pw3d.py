@@ -77,7 +77,7 @@ def pw3d_extract(dataset_path=None, out_path=None, split='test',
                 db['gender'].append(genders[i])
                 if split == 'train':
                     keypoints = np.zeros((25, 3))
-                    keypoints[constants.COCO_TO_BODY25] = vk[j].T
+                    keypoints[constants.COCO18_TO_BODY25] = vk[j].T
                     db['openpose'].append(keypoints)
 
     out_file = osp.join(out_path, f'3dpw_{split}.pt')

@@ -161,8 +161,9 @@ def write_pw3d_raw(root, n_frames=6, split='test', seed=0):
     n_actors = 2
     poses2d = []
     for _ in range(n_actors):
-        kp = np.zeros((F, 3, 17))
-        kp[:, :2] = rng.uniform(100, 500, (F, 2, 17))
+        # official 3DPW poses2d carry 18 OpenPose-COCO joints
+        kp = np.zeros((F, 3, 18))
+        kp[:, :2] = rng.uniform(100, 500, (F, 2, 18))
         kp[:, 2] = 0.9
         poses2d.append(kp)
     cam = np.tile(np.eye(4)[None], (F, 1, 1))
