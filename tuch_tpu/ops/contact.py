@@ -193,22 +193,25 @@ def masked_min_dist(verts: jnp.ndarray, geomask: jnp.ndarray,
     near-contact distances this op exists to resolve.
     """
 
+    V = verts.shape[1]
+    pad = (-V) % block_m
+    nb = (V + pad) // block_m
+    # Pre-pad the mask once (padded columns banned) and reshape to blocks
+    # so the scan reads contiguous slices instead of emitting a
+    # (V, block_m) dynamic gather per step.
+    geo_p = jnp.pad(geomask.astype(bool), ((0, 0), (0, pad)))
+    mask_blocks = jnp.moveaxis(geo_p.reshape(V, nb, block_m), 1, 0)
+
     def single(v):  # (V, 3)
-        V = v.shape[0]
-        pad = (-V) % block_m
         vp = jnp.concatenate(
             [v, jnp.full((pad, 3), 1e8, v.dtype)], axis=0) if pad else v
-        nb = vp.shape[0] // block_m
         col_blocks = vp.reshape(nb, block_m, 3)
 
         def body(carry, xs):
             best_d2, best_idx = carry
-            blk_idx, cols = xs  # cols: (block_m, 3)
+            blk_idx, cols, mask_blk = xs  # cols: (block_m, 3)
             d2 = jnp.sum((v[:, None, :] - cols[None, :, :]) ** 2, axis=-1)
             col_ids = blk_idx * block_m + jnp.arange(block_m)
-            # Gather this block's columns of the (static) geodesic mask.
-            mask_blk = jnp.take(geomask, jnp.minimum(col_ids, V - 1), axis=1)
-            mask_blk = mask_blk & (col_ids[None, :] < V)
             d2 = jnp.where(mask_blk, d2, jnp.inf)
             blk_min = jnp.min(d2, axis=1)
             blk_arg = col_ids[jnp.argmin(d2, axis=1)]
@@ -219,7 +222,7 @@ def masked_min_dist(verts: jnp.ndarray, geomask: jnp.ndarray,
         init = (jnp.full((V,), jnp.inf, v.dtype),
                 jnp.zeros((V,), jnp.int32))
         (min_d2, argmin), _ = jax.lax.scan(
-            body, init, (jnp.arange(nb), col_blocks))
+            body, init, (jnp.arange(nb), col_blocks, mask_blocks))
         return min_d2, argmin.astype(jnp.int32)
 
     return jax.vmap(single)(verts)
@@ -292,8 +295,17 @@ def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b
 
 
 def batch_face_normals(triangles: jnp.ndarray) -> jnp.ndarray:
-    """(..., F, 3, 3) -> unit normals (..., F, 3). tuch/train/loss.py:30-41."""
+    """(..., F, 3, 3) -> unit normals (..., F, 3). tuch/train/loss.py:30-41.
+
+    Zero-safe: a degenerate (zero-area) face yields a ZERO normal with a
+    zero gradient. max(norm, eps) masks only the VALUE -- d(norm)/dn at 0
+    is NaN and 0*NaN poisons any differentiable caller (CLAUDE.md
+    zero-safe-norm invariant; current callers pass stop-gradient verts,
+    but the op is a generic exported helper).
+    """
     e0 = triangles[..., 1, :] - triangles[..., 0, :]
     e1 = triangles[..., 2, :] - triangles[..., 0, :]
     n = jnp.cross(e0, e1)
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    pos = n2 > 0
+    return n * pos / jnp.sqrt(jnp.where(pos, n2, 1.0))

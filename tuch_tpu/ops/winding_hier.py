@@ -29,8 +29,7 @@ of approximating the triangle axis, ~2.5x measured with near-identical
 fit quality) are the better speed knobs.
 """
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -153,15 +152,19 @@ def _near_kernel(sel_ref, pts_ref, tris_ref, out_ref):
     dac = ax * cx + ay * cy + az * cz
     denom = la * lb * lc + dab * lc + dac * lb + dbc * la
     ang = 2.0 * _atan2(numer, denom)
-    partial = jnp.sum(ang, axis=1)[None, None, :]
+    # NOTE: this tile body intentionally mirrors (not shares)
+    # contact_pallas._winding_kernel and stays on the EXACT-divide path;
+    # the production kernel's approx_recip tuning does not apply to this
+    # documented negative result.
+    part_sum = jnp.sum(ang, axis=1)[None, None, :]
 
     @pl.when(m == 0)
     def _():
-        out_ref[...] = partial
+        out_ref[...] = part_sum
 
     @pl.when(m > 0)
     def _():
-        out_ref[...] = out_ref[...] + partial
+        out_ref[...] = out_ref[...] + part_sum
 
 
 def winding_numbers_hier(verts: jnp.ndarray,

@@ -15,7 +15,7 @@ sharded-batch jit; the cp winding reduction is an explicit psum in
 shard_map.
 """
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
