@@ -80,5 +80,6 @@ def test_eval_cli_result_file_dump(tmp_path, monkeypatch):
                '--synthetic_samples', '8', '--num_workers', '0',
                '--result_file', 'res.npz'])
     d = np.load(tmp_path / 'out' / 'res.npz')
-    assert d['pose'].shape[1:] == (24, 3, 3)
+    # reference npz schema: (N, 72) axis-angle (eval.py:157-160, 213)
+    assert d['pose'].shape[1:] == (72,)
     assert d['mpjpe'].shape == (8,)

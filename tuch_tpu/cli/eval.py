@@ -55,14 +55,15 @@ def main(argv=None):
         d = tempfile.mkdtemp()
         db = synthetic_db(args.synthetic_samples, img_dir=d, seed=0,
                           with_pose_3d=(args.dataset == 'mpi-inf-3dhp'))
-        db['gender'] = np.array(['m', 'f'] * (len(db['imgname']) // 2)
-                                )[:len(db['imgname'])]
+        ns = len(db['imgname'])
+        db['gender'] = np.array(['m', 'f'] * ((ns + 1) // 2))[:ns]
         dataset = TuchDataset(None, args.dataset, data=db, img_dir=d,
                               use_augmentation=False, split='test')
         cnc = None
-        j_reg = np.asarray(runtime.smpl.J_regressor)[:17] \
-            if args.dataset == 'mpi-inf-3dhp' else \
-            np.asarray(runtime.smpl.J_regressor)[:14]
+        # both mappers (H36M_TO_J17 and J14) index rows up to 16, so the
+        # synthetic stand-in regressor must keep 17 rows for either
+        # dataset (a 14-row slice makes jit clamp the gather silently)
+        j_reg = np.asarray(runtime.smpl.J_regressor)[:17]
         smpl_m = smpl_f = None
     else:
         dataset = TuchDataset(None, args.dataset, split='test',
@@ -94,7 +95,8 @@ def main(argv=None):
     result = run_evaluation(
         runtime.hmr, variables, dataset, args.dataset, runtime.smpl,
         smpl_m, smpl_f, j_reg, batch_size=args.batch_size, cnc_arr=cnc,
-        result_file=args.result_file, log_freq=args.log_freq, mesh=mesh)
+        result_file=args.result_file, log_freq=args.log_freq, mesh=mesh,
+        num_workers=args.num_workers, shuffle=args.shuffle)
     print('*** Final Results ***')
     for k, v in result.items():
         print(f'  {k}: {v:.3f}' if isinstance(v, float) else f'  {k}: {v}')

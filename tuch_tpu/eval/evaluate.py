@@ -15,7 +15,9 @@ import numpy as np
 
 from tuch_tpu import constants
 from tuch_tpu.models.smpl import SMPLModel, smpl_forward, smpl_forward_pose72
-from tuch_tpu.utils.procrustes import compute_similarity_transform
+from tuch_tpu.utils.procrustes import mpjpe as mpjpe_fn, \
+    reconstruction_error
+from tuch_tpu.utils.rotations import rotmat_to_aa
 
 
 def make_eval_step(hmr_model, smpl_neutral: SMPLModel,
@@ -55,10 +57,9 @@ def make_eval_step(hmr_model, smpl_neutral: SMPLModel,
             gt_pelvis = gt_j[:, :1]
             gt_j14 = gt_j[:, joint_mapper] - gt_pelvis
 
-        mpjpe = jnp.sqrt(((pred_j14 - gt_j14) ** 2).sum(-1)).mean(-1)
-        aligned = compute_similarity_transform(pred_j14, gt_j14)
-        pa = jnp.sqrt(((aligned - gt_j14) ** 2).sum(-1)).mean(-1)
-        return mpjpe, pa, rotmat, betas, camera, pred_j
+        err = mpjpe_fn(pred_j14, gt_j14)
+        pa = reconstruction_error(pred_j14, gt_j14, reduction=None)
+        return err, pa, rotmat, betas, camera, pred_j
 
     return jax.jit(step)
 
@@ -94,7 +95,8 @@ def run_evaluation(hmr_model, variables, dataset, dataset_name: str,
                    j_regressor_h36m, batch_size: int = 32,
                    cnc_arr: Optional[np.ndarray] = None,
                    result_file: Optional[str] = None,
-                   log_freq: int = 50, mesh=None) -> Dict[str, float]:
+                   log_freq: int = 50, mesh=None, num_workers: int = 2,
+                   shuffle: bool = False) -> Dict[str, float]:
     """Full-dataset evaluation loop (eval.py:90-215).
 
     mesh: optional ('dp', 'cp') jax.sharding.Mesh -- batches whose size
@@ -117,15 +119,20 @@ def run_evaluation(hmr_model, variables, dataset, dataset_name: str,
             if b['img'].shape[0] % dp == 0:
                 return pmesh.shard_batch(b, mesh)
             return b
+    # reference forwards both to its DataLoader (eval.py:118), forcing
+    # shuffle off only when dumping results (result order must align)
     loader = CheckpointLoader(dataset, batch_size=batch_size,
-                              shuffle=False, num_workers=2,
+                              shuffle=shuffle and result_file is None,
+                              num_workers=num_workers,
                               drop_last=False)
     n = len(dataset)
     mpjpe = np.zeros(n)
     recon = np.zeros(n)
     save = result_file is not None
     if save:
-        poses = np.zeros((n, 24, 3, 3))
+        # reference npz schema: pose is (N, 72) axis-angle
+        # (eval.py:157-160 converts via rotation_matrix_to_angle_axis)
+        poses = np.zeros((n, 72))
         betas_all = np.zeros((n, 10))
         cams = np.zeros((n, 3))
         joints = np.zeros((n, j_regressor_h36m.shape[0], 3))
@@ -139,7 +146,9 @@ def run_evaluation(hmr_model, variables, dataset, dataset_name: str,
         mpjpe[seen:seen + bsz] = np.asarray(m)[:bsz]
         recon[seen:seen + bsz] = np.asarray(p)[:bsz]
         if save:
-            poses[seen:seen + bsz] = np.asarray(rotmat)[:bsz]
+            aa = np.asarray(jnp.nan_to_num(
+                rotmat_to_aa(rotmat))).reshape(-1, 72)
+            poses[seen:seen + bsz] = aa[:bsz]
             betas_all[seen:seen + bsz] = np.asarray(betas)[:bsz]
             cams[seen:seen + bsz] = np.asarray(cam)[:bsz]
             joints[seen:seen + bsz] = np.asarray(pred_j)[:bsz]

@@ -47,6 +47,11 @@ void rasterize_mesh(const float* verts, int num_verts,
 
   for (int t = 0; t < num_faces; ++t) {
     int i0 = faces[3 * t], i1 = faces[3 * t + 1], i2 = faces[3 * t + 2];
+    // guard: a reduced vertex set paired with full-resolution faces must
+    // skip, not read out of bounds (the numpy fallback raises instead)
+    if (i0 < 0 || i0 >= num_verts || i1 < 0 || i1 >= num_verts ||
+        i2 < 0 || i2 >= num_verts)
+      continue;
     float x0 = px[i0], y0 = py[i0], z0 = verts[3 * i0 + 2];
     float x1 = px[i1], y1 = py[i1], z1 = verts[3 * i1 + 2];
     float x2 = px[i2], y2 = py[i2], z2 = verts[3 * i2 + 2];

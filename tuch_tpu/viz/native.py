@@ -23,6 +23,34 @@ _tried = False
 def _build():
     cmd = ['g++', '-O3', '-shared', '-fPIC', _SRC, '-o', _SO]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_SO + '.srchash', 'w') as f:
+        f.write(_src_hash())
+
+
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, 'rb') as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _needs_build() -> bool:
+    """Rebuild when the .so is missing or built from different source.
+
+    A content hash, not mtimes: git checkouts do not preserve mtimes, so
+    a stale committed .so could otherwise shadow newer native.cpp."""
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_SO + '.srchash') as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
+
+
+def _load():
+    if _needs_build():
+        _build()
+    return ctypes.CDLL(_SO)
 
 
 def get_lib():
@@ -33,10 +61,13 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            try:
+                lib = _load()
+            except OSError:
+                # a committed .so may not match this host's arch/ABI:
+                # force a source rebuild and retry once
                 _build()
-            lib = ctypes.CDLL(_SO)
+                lib = ctypes.CDLL(_SO)
             f32p = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
             i32p = np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS')
             lib.rasterize_mesh.argtypes = [
