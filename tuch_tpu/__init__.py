@@ -28,4 +28,25 @@ def _setup_compilation_cache():
         pass
 
 
+def _honor_jax_platforms_env():
+    """Make JAX_PLATFORMS behave as documented even under site hooks.
+
+    This container's sitecustomize force-registers the axon TPU backend
+    and overrides jax_platforms AFTER the env var is read, so
+    `JAX_PLATFORMS=cpu python -m tuch_tpu.cli.*` silently ran on the TPU
+    tunnel (CLAUDE.md gotcha; measured: two such "CPU" runs can wedge
+    the tunnel). Re-asserting the env value at package import restores
+    the standard JAX contract for every CLI and library user.
+    """
+    plat = os.environ.get('JAX_PLATFORMS')
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update('jax_platforms', plat)
+    except Exception:
+        pass
+
+
 _setup_compilation_cache()
+_honor_jax_platforms_env()
