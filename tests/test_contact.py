@@ -138,3 +138,36 @@ def test_face_normals_sphere(tiny_smpl):
     # stays star-shaped so this still holds)
     dots = (n * centers / np.linalg.norm(centers, axis=-1, keepdims=True))
     assert (dots.sum(-1) > 0).mean() > 0.99
+
+
+def test_region_pair_min_dists_geomask(rng, tiny_smpl):
+    """geomask excludes geodesically-near pairs from the region-pair min,
+    matching the reference's mask-before-slice order
+    (tuch/smplify/losses.py:92 -> :115). Built so the unmasked minimum IS
+    a banned pair: the masked result must strictly increase."""
+    model, extras = tiny_smpl
+    idx_a, idx_b, mask_a, mask_b = contact.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+    v = jnp.asarray(np.asarray(model.v_template))[None]
+    V = v.shape[1]
+
+    base = np.asarray(contact.region_pair_min_dists(
+        v, idx_a, idx_b, mask_a, mask_b))
+    # ban exactly the argmin pair of region-pair 0
+    ia0 = np.asarray(idx_a[0])[np.asarray(mask_a[0])]
+    ib0 = np.asarray(idx_b[0])[np.asarray(mask_b[0])]
+    va, vb = np.asarray(v[0])[ia0], np.asarray(v[0])[ib0]
+    d2 = ((va[:, None] - vb[None, :]) ** 2).sum(-1)
+    # ban EVERY pair achieving (a tie with) the unmasked minimum
+    near = d2 <= d2.min() * (1 + 1e-5)
+    geo = np.ones((V, V), bool)
+    geo[ia0[np.where(near)[0]], ib0[np.where(near)[1]]] = False
+
+    masked = np.asarray(contact.region_pair_min_dists(
+        v, idx_a, idx_b, mask_a, mask_b, geomask=jnp.asarray(geo)))
+    assert masked[0, 0] > base[0, 0]
+    # an all-allowed mask reproduces the unmasked result exactly
+    allow = np.asarray(contact.region_pair_min_dists(
+        v, idx_a, idx_b, mask_a, mask_b,
+        geomask=jnp.ones((V, V), bool)))
+    np.testing.assert_allclose(allow, base, rtol=1e-7)

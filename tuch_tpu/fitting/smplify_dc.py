@@ -77,16 +77,21 @@ class SMPLifyResult(NamedTuple):
 
 
 def _run_adam(loss_fn, params, num_iters, lr, collect=None):
-    """lax.scan Adam loop. loss_fn(params) -> scalar; collect(params) -> ys."""
+    """lax.scan Adam loop. loss_fn(params) -> scalar; collect(params) -> ys.
+
+    collect runs on the PRE-update params, like the reference's
+    trajectory collection (smplifydc.py:161 appends before
+    optimizer.step()): frame 0 is the init pose.
+    """
     opt = optax.adam(lr, b1=0.9, b2=0.999)
     state = opt.init(params)
 
     def step(carry, _):
         p, s = carry
+        ys = collect(p) if collect is not None else None
         grads = jax.grad(loss_fn)(p)
         updates, s = opt.update(grads, s)
         p = optax.apply_updates(p, updates)
-        ys = collect(p) if collect is not None else None
         return (p, s), ys
 
     (params, _), traj = jax.lax.scan(step, (params, state), None,
@@ -144,8 +149,10 @@ def smplify_dc(model: SMPLModel,
     collect = None
     if config.collect_trajectory:
         def collect(p):
-            out = smpl_forward(model, betas1, p['body_pose'],
-                               p['global_orient'])
+            # live betas when stage 2 optimizes them (non-contact branch
+            # carries 'betas' in p); stage-1 betas otherwise
+            out = smpl_forward(model, p.get('betas', betas1),
+                               p['body_pose'], p['global_orient'])
             return out.vertices
 
     trunc_frac = None
@@ -210,6 +217,7 @@ def smplify_dc(model: SMPLModel,
 
         def step(carry, it):
             p, s, neighbors = carry
+            ys = collect(p) if collect is not None else None
             prev_ext = neighbors[0] if Kc else None
             if Kc:
                 # iteration 0 uses the exact seed already in the carry
@@ -225,7 +233,6 @@ def smplify_dc(model: SMPLModel,
             grads = jax.grad(lambda q: body_loss(q, neighbors))(p)
             updates, s = opt.update(grads, s)
             p = optax.apply_updates(p, updates)
-            ys = collect(p) if collect is not None else None
             return (p, s, neighbors), ys
 
         (body_params, _, _), traj = jax.lax.scan(

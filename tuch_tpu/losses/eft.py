@@ -61,9 +61,12 @@ def eft_loss(joints: jnp.ndarray, betas: jnp.ndarray,
                 ).sum(-1) / n_ext
         push = (1.0 * jnp.tanh(v2v_min / 0.04) ** 2 * (1 - extf)
                 ).sum(-1) / n_int
+        # geodesically masked like the reference (eft/loss.py:155 masks
+        # the pairwise matrix before the :175 region slice)
         pair_min = contact_ops.region_pair_min_dists(
             vertices, assets.region_idx_a, assets.region_idx_b,
-            assets.region_mask_a, assets.region_mask_b)
+            assets.region_mask_a, assets.region_mask_b,
+            geomask=assets.geomask)
         r2r = (pair_min * gt_contact).sum(-1)
         loss_contact = (100.0 * (pull + push + 0.5 * r2r)).sum() \
             * weights.contact

@@ -231,14 +231,7 @@ def contact_loss(verts: jnp.ndarray, assets: ContactAssets,
         rep = hd.geovec_verts[t_idx]                  # (K,)
         geo = assets.geomask[rep][:, rep]             # (K, K)
         geo = geo & sel[None, :] & sel[:, None]
-        # HIGHEST precision: the default TPU f32 matmul truncates operands
-        # to bf16, which destroys near-contact distances in the Gram form
-        # (see ops/contact_pallas.py masked-min docstring).
-        d2 = (jnp.sum(pts_stop ** 2, -1)[:, None]
-              + jnp.sum(pts_stop ** 2, -1)[None, :]
-              - 2.0 * jnp.matmul(pts_stop, pts_stop.T,
-                                 precision=jax.lax.Precision.HIGHEST))
-        d2 = jnp.where(geo, d2, jnp.inf)
+        d2 = contact_ops.masked_sq_dists_highest(pts_stop, pts_stop, geo)
         argmin = jnp.argmin(d2, axis=1)
         has_neighbor = jnp.isfinite(jnp.min(d2, axis=1))
         # zero-safe: coincident HD points (tight contact) must give a 0

@@ -354,10 +354,14 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
             contact_b)
 
     # Region-to-region term for discretely annotated contact pairs: the sum
-    # over annotated pairs of the min squared inter-region distance.
+    # over annotated pairs of the min squared inter-region distance,
+    # geodesically masked like the reference (losses.py:92 masks the
+    # pairwise matrix BEFORE the :115 region slice -- adjacent regions
+    # must be pulled by DISTANT pairs, not their shared boundary).
     pair_min = contact_ops.region_pair_min_dists(
         verts, assets.region_idx_a, assets.region_idx_b,
-        assets.region_mask_a, assets.region_mask_b)  # (B, P)
+        assets.region_mask_a, assets.region_mask_b,
+        geomask=assets.geomask)  # (B, P)
     r2r_b = (pair_min * gt_contact).sum(axis=-1)
 
     opt_mask = (~ignore_idxs).astype(verts.dtype)

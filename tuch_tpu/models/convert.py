@@ -20,16 +20,19 @@ def _to_numpy(t):
         return np.asarray(t)
 
 
+def _put(tree, path, value):
+    """Insert value at a nested dict path, creating intermediate nodes."""
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]):
     """torch state-dict -> {'params': ..., 'batch_stats': ...} pytrees."""
     params: Dict = {}
     stats: Dict = {}
-
-    def put(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
+    put = _put
 
     def conv_kernel(w):
         return np.transpose(_to_numpy(w), (2, 3, 1, 0))  # OIHW -> HWIO
@@ -73,12 +76,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
 
 
 def _bn(params, stats, base, leaf, v):
-    def put(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
+    put = _put
     if leaf == 'weight':
         put(params, base + ('scale',), v)
     elif leaf == 'bias':

@@ -257,33 +257,51 @@ def build_region_pairs(classes, csig, max_region_size: int | None = None):
     return idx_a, idx_b, mask_a, mask_b
 
 
-def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b
-                          ) -> jnp.ndarray:
+def masked_sq_dists_highest(a: jnp.ndarray, b: jnp.ndarray,
+                            allowed: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) x (M, 3) -> (N, M) squared distances, banned pairs at +inf.
+
+    The ONE sanctioned Gram-form implementation: it must run at
+    Precision.HIGHEST because the default TPU f32 matmul truncates
+    operands to bf16 (~0.4% relative on the Gram products -- 100x the d2
+    signal at contact distances). With exact fp32 products the residual
+    cancellation is ~1e-7 absolute, negligible against the 2e-2 contact
+    threshold. Keep every small-K masked pairwise-d2 caller on this
+    helper so the precision invariant lives in one place (CLAUDE.md).
+    """
+    d2 = (jnp.sum(a * a, -1)[:, None]
+          + jnp.sum(b * b, -1)[None, :]
+          - 2.0 * jnp.matmul(a, b.T,
+                             precision=jax.lax.Precision.HIGHEST))
+    return jnp.where(allowed, d2, jnp.inf)
+
+
+def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b,
+                          geomask=None) -> jnp.ndarray:
     """Min squared distance between each annotated region pair.
 
     verts: (B, V, 3) -> (B, P). Replaces the per-pair python loop in
     tuch/train/train_module.py:83-91 (contact_from_verts) with one batched
     gather + blocked pairwise min; differentiable (min subgradient), exactly
     like torch.min in the reference.
+
+    geomask: optional (V, V) bool -- when given, geodesically-near vertex
+    pairs are excluded from each region-pair min. The reference applies
+    this in the SMPLify r2r term (tuch/smplify/losses.py:92 masks
+    pred_verts_dists BEFORE the :115 region slice) and the EFT r2r term
+    (tuch/eft/loss.py:155->175), but NOT in the region contact signature
+    (train_module.py:83-91 computes fresh unmasked distances) -- callers
+    pick the semantics their reference site has.
     """
 
     def one_pair(carry, tables):
         ia, ib, ma, mb = tables
 
         def single(v):
-            va = v[ia]  # (R, 3)
-            vb = v[ib]
-            # HIGHEST precision: the default TPU f32 matmul truncates
-            # operands to bf16 (~0.4% relative on the Gram products --
-            # 100x the d2 signal at contact distances). With exact fp32
-            # products the residual cancellation is ~1e-7 absolute,
-            # negligible against the 2e-2 contact threshold.
-            d2 = (jnp.sum(va * va, -1)[:, None]
-                  + jnp.sum(vb * vb, -1)[None, :]
-                  - 2.0 * jnp.matmul(va, vb.T,
-                                     precision=jax.lax.Precision.HIGHEST))
-            d2 = jnp.where(ma[:, None] & mb[None, :], d2, jnp.inf)
-            return jnp.min(d2)
+            allowed = ma[:, None] & mb[None, :]
+            if geomask is not None:
+                allowed = allowed & geomask[ia][:, ib]
+            return jnp.min(masked_sq_dists_highest(v[ia], v[ib], allowed))
 
         return carry, jax.vmap(single)(verts)
 

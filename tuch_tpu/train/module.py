@@ -208,8 +208,12 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
                 update = new_jloss <= o_jloss
                 new_contact = region_contact_signature(res.vertices,
                                                        assets.contact)
-                # Contact acceptance: the new fit must not worsen any
-                # annotated region distance (train_module.py:265-271).
+                # Contact acceptance, ported QUIRK-FOR-QUIRK from
+                # train_module.py:265-271: "at least one region pair not
+                # worsened". Because unannotated pairs compare 0 <= 0 ==
+                # True, this is effectively always true for P > 0 -- the
+                # reference's gate, faithfully. Do NOT "fix" to .all():
+                # that would be a semantics divergence needing a flag.
                 update_contact = ((gt_disc_contact * new_contact)
                                   <= (gt_disc_contact * o_contact)
                                   ).sum(axis=1) > 0
