@@ -11,7 +11,7 @@ section 2.10). This module provides:
     the "full" size -- the exact SMPL topology sizes (6890 vertices, 13776
     faces), so tests run hermetically and benchmarks have true FLOP parity.
 
-The synthetic body is a closed UV-sphere (segments=82, rings=85 gives
+The synthetic body is a closed UV-sphere (segments=82, rings=86 gives
 exactly 6890 vertices / 13776 triangles), which matters for the contact
 machinery: generalized winding numbers are only meaningful on closed meshes.
 """
@@ -105,8 +105,14 @@ def _sphere_params(num_verts: int) -> Tuple[int, int]:
 
 
 def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
-                   seed: int = 0) -> Tuple[SMPLModel, SyntheticExtras]:
-    """Deterministic synthetic SMPL-schema body model on a closed sphere."""
+                   seed: int = 0, with_contact: bool = True
+                   ) -> Tuple[SMPLModel, SyntheticExtras]:
+    """Deterministic synthetic SMPL-schema body model on a closed sphere.
+
+    with_contact=False skips the (V, V) geodesic matrix (~190 MB + an
+    arccos pass at full size) -- inference-only runtimes neither need nor
+    should pay for it; extras.geodists is then None.
+    """
     rng = np.random.RandomState(seed)
     segs, rings = _sphere_params(num_verts)
     sphere, faces = uv_sphere(segs, rings)
@@ -167,11 +173,13 @@ def synthetic_smpl(num_verts: int = constants.SMPL_NUM_VERTS,
 
     # Geodesic distances: great-circle distance on the template sphere
     # (float32 throughout; the V^2 matrix is ~190 MB at full size).
-    unit = (sphere / np.linalg.norm(sphere, axis=-1, keepdims=True)
-            ).astype(np.float32)
-    cos = unit @ unit.T
-    np.clip(cos, -1.0, 1.0, out=cos)
-    geodists = np.arccos(cos, out=cos)
+    geodists = None
+    if with_contact:
+        unit = (sphere / np.linalg.norm(sphere, axis=-1, keepdims=True)
+                ).astype(np.float32)
+        cos = unit @ unit.T
+        np.clip(cos, -1.0, 1.0, out=cos)
+        geodists = np.arccos(cos, out=cos)
 
     # Segments: narrow latitude-band patches (closed by boundary rings).
     # The reference's segments are small local patches -- crooks of elbows/

@@ -39,11 +39,8 @@ def main(argv=None):
         num_verts=args.synthetic_num_verts or None)
     variables = runtime.variables
     if args.checkpoint:
-        from tuch_tpu.train.checkpoint import load_pretrained_params
-        loaded = load_pretrained_params(args.checkpoint)
-        variables = {'params': loaded['params'],
-                     'batch_stats': loaded.get(
-                         'batch_stats', variables['batch_stats'])}
+        from tuch_tpu.train.checkpoint import load_variables
+        variables = load_variables(args.checkpoint, variables)
 
     P = len(runtime.contact_classes)
     if args.synthetic:

@@ -113,11 +113,8 @@ def main(argv=None):
                                with_contact=False)
     variables = runtime.variables
     if args.checkpoint:
-        from tuch_tpu.train.checkpoint import load_pretrained_params
-        loaded = load_pretrained_params(args.checkpoint)
-        variables = {'params': loaded['params'],
-                     'batch_stats': loaded.get(
-                         'batch_stats', variables['batch_stats'])}
+        from tuch_tpu.train.checkpoint import load_variables
+        variables = load_variables(args.checkpoint, variables)
 
     hmr, smpl = runtime.hmr, runtime.smpl
 
@@ -134,20 +131,39 @@ def main(argv=None):
 
     imgs = sorted(glob.glob(osp.join(args.img, '*'))
                   if osp.isdir(args.img) else [args.img])
-    ops = sorted(glob.glob(osp.join(args.openpose, '*.json'))
-                 if args.openpose and osp.isdir(args.openpose)
-                 else [args.openpose] * len(imgs))
+    if args.openpose and osp.isdir(args.openpose):
+        # pair by image stem, not by independent sort order: a missing
+        # json or a stray file must fail loudly, not shift the pairing
+        ops = []
+        for img_path in imgs:
+            stem = osp.splitext(osp.basename(img_path))[0]
+            cands = (osp.join(args.openpose, stem + '_keypoints.json'),
+                     osp.join(args.openpose, stem + '.json'))
+            found = next((c for c in cands if osp.isfile(c)), None)
+            if found is None:
+                raise FileNotFoundError(
+                    f'no openpose json for {img_path} (looked for '
+                    f'{cands[0]} and {cands[1]})')
+            ops.append(found)
+    else:
+        ops = [args.openpose] * len(imgs)
 
     os.makedirs(args.outdir, exist_ok=True)
-    for img_path, op_path in zip(imgs, ops):
+    for idx, (img_path, op_path) in enumerate(zip(imgs, ops)):
         print('processing', img_path, op_path or '')
         img01, norm = process_image(img_path, args.bbox, op_path)
         verts, cam, cam_t = forward(jnp.asarray(norm))
         verts = np.asarray(verts[0])
         cam_t0 = np.asarray(cam_t[0])
 
-        stem = osp.splitext(osp.basename(img_path))[0] \
-            if args.outfile is None else args.outfile
+        if args.outfile is None:
+            stem = osp.splitext(osp.basename(img_path))[0]
+        elif len(imgs) > 1:
+            # --outfile with a directory input: suffix per image so the
+            # outputs don't silently overwrite each other
+            stem = f'{args.outfile}_{idx:03d}'
+        else:
+            stem = args.outfile
         out = osp.join(args.outdir, stem)
 
         # OBJ exports: front and +-60 deg about y, x-flipped 180 like the

@@ -44,11 +44,8 @@ def main(argv=None):
                                with_contact=False)
     variables = runtime.variables
     if args.checkpoint:
-        from tuch_tpu.train.checkpoint import load_pretrained_params
-        loaded = load_pretrained_params(args.checkpoint)
-        variables = {'params': loaded['params'],
-                     'batch_stats': loaded.get(
-                         'batch_stats', variables['batch_stats'])}
+        from tuch_tpu.train.checkpoint import load_variables
+        variables = load_variables(args.checkpoint, variables)
 
     if args.synthetic:
         import tempfile

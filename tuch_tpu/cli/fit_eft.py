@@ -54,11 +54,8 @@ def main(argv=None):
         img_res=args.img_res)
     variables = runtime.variables
     if args.pretrained_checkpoint:
-        from tuch_tpu.train.checkpoint import load_pretrained_params
-        loaded = load_pretrained_params(args.pretrained_checkpoint)
-        variables = {'params': loaded['params'],
-                     'batch_stats': loaded.get(
-                         'batch_stats', variables['batch_stats'])}
+        from tuch_tpu.train.checkpoint import load_variables
+        variables = load_variables(args.pretrained_checkpoint, variables)
 
     for dsname in args.ds_names:
         P = len(runtime.contact_classes)
@@ -75,6 +72,8 @@ def main(argv=None):
                              num_contact_classes=P)
 
         if args.merge is not None:
+            import os
+            os.makedirs(args.out_dir, exist_ok=True)
             merge_shards(args.merge, ds.data,
                          f'{args.out_dir}/{dsname}_eft_train.pt')
             continue

@@ -193,6 +193,11 @@ def main(argv=None) -> int:
             print('--ref_dump needs --checkpoint'); return 2
         return check_against_dump(args)
 
+    if args.checkpoint and not os.path.isfile(args.checkpoint):
+        # an explicitly-requested gate must not silently degrade to SKIP
+        # on a typo'd path (same contract as --ref_dump above)
+        print(f'ERROR: --checkpoint {args.checkpoint} does not exist')
+        return 2
     ckpt = args.checkpoint or cfg.SPIN_MODEL_CHECKPOINT
     if ckpt and os.path.isfile(ckpt):
         try:

@@ -31,11 +31,8 @@ def main(argv=None):
 
     variables = runtime.variables
     if options.pretrained_checkpoint:
-        from tuch_tpu.train.checkpoint import load_pretrained_params
-        loaded = load_pretrained_params(options.pretrained_checkpoint)
-        variables = {'params': loaded['params'],
-                     'batch_stats': loaded.get(
-                         'batch_stats', variables['batch_stats'])}
+        from tuch_tpu.train.checkpoint import load_variables
+        variables = load_variables(options.pretrained_checkpoint, variables)
 
     P = len(runtime.contact_classes)
     if options.synthetic:

@@ -51,13 +51,24 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
     asset set the reference demo needs. Runtime.assets.contact / .prior /
     .contact_classes / .geodists are None/empty in that mode."""
     if synthetic is None:
-        synthetic = not os.path.isdir(cfg.SMPL_MODEL_DIR)
+        # detect by the actual load-bearing file, not the directory (an
+        # empty models/smpl dir must not flip into real mode and crash)
+        neutral = os.path.join(cfg.SMPL_MODEL_DIR, 'SMPL_NEUTRAL.pkl')
+        synthetic = not os.path.isfile(neutral)
+        # auto-selection must never be silent: a real-data run that
+        # quietly swapped in the synthetic sphere body would produce
+        # garbage metrics/meshes with no indication
+        print(f'[tuch_tpu.runtime] auto-selected '
+              f'{"SYNTHETIC stand-in" if synthetic else "real"} assets '
+              f'({neutral} {"missing" if synthetic else "found"})',
+              flush=True)
     if options is not None and getattr(options, 'synthetic', False):
         synthetic = True
 
     if synthetic:
         nv = num_verts or constants.SMPL_NUM_VERTS
-        smpl, extras = assets_mod.synthetic_smpl(num_verts=nv, seed=seed)
+        smpl, extras = assets_mod.synthetic_smpl(num_verts=nv, seed=seed,
+                                                 with_contact=with_contact)
         gmm = assets_mod.synthetic_gmm_prior(seed=seed)
         geodists = extras.geodists
         segments = extras.segments

@@ -97,3 +97,17 @@ def load_pretrained_params(path: str):
         return tree
     from tuch_tpu.models.convert import convert_torch_checkpoint
     return convert_torch_checkpoint(path)
+
+
+def load_variables(path: str, init_variables):
+    """Checkpoint params + batch_stats over initialized variables.
+
+    The shared load-into-variables step every CLI performs: checkpoints
+    may omit batch_stats (e.g. converted reference .pt files keep them in
+    the state dict, ours always do) -- fall back to the freshly
+    initialized ones.
+    """
+    loaded = load_pretrained_params(path)
+    return {'params': loaded['params'],
+            'batch_stats': loaded.get('batch_stats',
+                                      init_variables['batch_stats'])}
