@@ -48,10 +48,13 @@ def main(argv=None):
         d = tempfile.mkdtemp()
         db = synthetic_db(args.num_images, img_dir=d, seed=0,
                           num_contact_classes=P)
-        ds = TuchDataset(None, args.ds_names[0], data=db, img_dir=d,
+        # pass the config so --img_res reaches the crop pipeline (the
+        # renderer below uses the same resolution; options=None silently
+        # pinned the dataset at 224 while the tiles were img_res)
+        ds = TuchDataset(args, args.ds_names[0], data=db, img_dir=d,
                          use_augmentation=False)
     else:
-        ds = TuchDataset(None, args.ds_names[0], use_augmentation=False)
+        ds = TuchDataset(args, args.ds_names[0], use_augmentation=False)
 
     B = min(args.num_images, len(ds))
     samples = [ds.get(i) for i in range(B)]
