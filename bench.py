@@ -210,12 +210,16 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
     def timed(step, state, bt=None):
         bt = batch if bt is None else bt
         out = step(state, bt)
-        jax.block_until_ready(out[0].params)  # compile
-        t0 = time.time()
+        jax.block_until_ready(out)  # compile; block the WHOLE tree --
+        # blocking a single leaf once produced a bogus 3.8 ms "full step"
+        # through the remote tunnel (per-buffer readiness transient)
+        ts = []
         for _ in range(reps):
+            t0 = time.time()
             out = step(state, bt)
-            jax.block_until_ready(out[0].params)
-        return (time.time() - t0) / reps
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
 
     t_full = timed(*build(True, 1e-5))          # smplify + contact loss
     t_no_smplify = timed(*build(False, 1e-5))   # HMR + contact loss only
