@@ -542,6 +542,11 @@ def main():
         if bf16_256 is not None:
             extra['hmr_smpl_inference_imgs_per_sec_bf16_b256'] = round(
                 bf16_256, 2)
+        lat1 = try_metric(lambda: hmr_inference_imgs_per_sec(
+            batch=1, dtype='float32', n_steps=50))
+        if lat1 is not None:
+            # serving latency: one image through HMR + SMPL, on-chip
+            extra['hmr_smpl_latency_ms_b1'] = round(1000.0 / lat1, 3)
         if fp32 is not None and bf16 is not None:
             # bf16 accuracy label: same weights, same inputs -- max vertex
             # displacement vs the fp32 forward (meters)
