@@ -91,6 +91,12 @@ def test_parity_cli_network_mode(tmp_path):
     assert parity.main(['--checkpoint', path]) == 0
 
 
-def test_parity_cli_skips_cleanly():
+def test_parity_cli_skips_cleanly(monkeypatch):
+    from tuch_tpu import config as cfg
     from tuch_tpu.cli import parity
-    assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt']) == 0
+    # An explicitly-passed missing path must NOT silently degrade to SKIP
+    # (cli/parity.py contract: typo'd paths error with rc 2).
+    assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt']) == 2
+    # Without --checkpoint and with no default asset present, skip cleanly.
+    monkeypatch.setattr(cfg, 'SPIN_MODEL_CHECKPOINT', '/nonexistent/spin.pt')
+    assert parity.main([]) == 0
