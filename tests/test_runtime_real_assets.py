@@ -156,6 +156,49 @@ def test_red_ply_reader_roundtrip(asset_tree, tmp_path):
         np.testing.assert_array_equal(np.sort(got), np.sort(seg['vidx']))
 
 
+def test_parity_ref_dump_gate(asset_tree, tmp_path):
+    """End-to-end level-1 parity gate: a parity.npz in the schema of
+    tools/parity_dump.py, produced here by the reference's functional
+    torch graph (models/torch_ref.py) + the crafted on-disk SMPL, must
+    pass `parity --checkpoint x.pt --ref_dump parity.npz` (rc 0)."""
+    torch = pytest.importorskip('torch')
+    import jax.numpy as jnp
+    from tests.test_cli_viz import fake_torch_state_dict
+    from tuch_tpu.models.smpl import smpl_forward
+    from tuch_tpu.models.torch_ref import torch_hmr_forward
+    from tuch_tpu.utils.rotations import rot6d_to_rotmat
+
+    model0, extras, _, _ = asset_tree
+    sd_np = fake_torch_state_dict()
+    ckpt_path = str(tmp_path / 'ckpt.pt')
+    torch.save({'model': {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd_np.items()}}, ckpt_path)
+
+    # "reference side": the exact functional reference graph + shared SMPL
+    rng = np.random.RandomState(7)
+    x = (rng.randn(2, 224, 224, 3) * 0.5).astype(np.float32)
+    pose6d, betas, cam = torch_hmr_forward(
+        sd_np, x, extras.mean_pose6d, extras.mean_shape, extras.mean_cam)
+    rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(pose6d))).reshape(
+        -1, 24, 3, 3)
+    verts = np.asarray(smpl_forward(
+        model0, jnp.asarray(betas), jnp.asarray(rotmat[:, 1:]),
+        jnp.asarray(rotmat[:, :1]), pose2rot=False).vertices)
+    records = {'n': np.asarray(2)}
+    for i in range(2):
+        records[f'img{i}_norm'] = x[i]
+        records[f'img{i}_rotmat'] = rotmat[i:i + 1]
+        records[f'img{i}_betas'] = betas[i:i + 1]
+        records[f'img{i}_cam'] = cam[i:i + 1]
+        records[f'img{i}_vertices'] = verts[i:i + 1]
+    dump_path = str(tmp_path / 'parity.npz')
+    np.savez(dump_path, **records)
+
+    from tuch_tpu.cli import parity
+    assert parity.main(['--checkpoint', ckpt_path,
+                        '--ref_dump', dump_path]) == 0
+
+
 def test_build_runtime_inference_only_minimal_assets(asset_tree, tmp_path,
                                                      monkeypatch):
     """with_contact=False must not require contact assets on disk: point
