@@ -260,7 +260,7 @@ V5E_BF16_PEAK_FLOPS = 1.97e14     # TPU v5e (lite) chip peak, bf16 MXU
 
 
 def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
-                               with_outputs=False):
+                               with_outputs=False, stem_s2d=False):
     """TUCH inference throughput (BASELINE.md: imgs/sec/chip).
 
     A single forward at B=64 takes ~1-10 ms on chip, so one dispatch per
@@ -281,11 +281,13 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
     runtime = rt.build_runtime(synthetic=True, img_res=224,
                                with_segments=False, with_hd=False)
     hmr = runtime.hmr
-    if dtype == 'bfloat16':
+    if dtype == 'bfloat16' or stem_s2d:
         from tuch_tpu.models import hmr as hmr_mod
         hmr = hmr_mod.create_hmr(
             runtime.extras.mean_pose6d, runtime.extras.mean_shape,
-            runtime.extras.mean_cam, dtype=jnp.bfloat16)
+            runtime.extras.mean_cam,
+            dtype=jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32,
+            stem_s2d=stem_s2d)
     variables = runtime.variables
     smpl = runtime.smpl
 

@@ -100,3 +100,44 @@ def test_hmr_bfloat16_compute():
     assert rotmat.dtype == jnp.float32  # head runs fp32
     assert np.isfinite(np.asarray(rotmat)).all()
     assert np.isfinite(np.asarray(cam)).all()
+
+
+def test_stem_s2d_equivalence():
+    """StemS2D (space-to-depth 7x7/s2 stem) matches nn.Conv: same param
+    pytree, same outputs to fp32 reassociation tolerance, exact fallback
+    on odd input sizes (models/hmr.py StemS2D)."""
+    import jax.tree_util as tu
+    rng = np.random.RandomState(0)
+    for shape, tol in [((2, 64, 64, 3), 2e-5), ((1, 63, 65, 3), 0.0),
+                       ((2, 224, 224, 3), 2e-5)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        m0 = H.ResNet50(stem_s2d=False)
+        m1 = H.ResNet50(stem_s2d=True)
+        v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+        v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+        assert tu.tree_structure(v1) == tu.tree_structure(v0)
+        # S2D applies with the conv-path variables unchanged
+        y0 = np.asarray(m0.apply(v0, x, train=False))
+        y1 = np.asarray(m1.apply(v0, x, train=False))
+        np.testing.assert_allclose(y1, y0, atol=max(tol, 0.0), rtol=0)
+
+
+def test_stem_s2d_gradients_finite():
+    """The S2D stem trains: gradients flow and are finite."""
+    from tuch_tpu import assets
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    model = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                         extras.mean_cam, stem_s2d=True)
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+
+    def loss_fn(params, batch_stats, x):
+        (rotmat, betas, cam), _ = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, x, train=True,
+            mutable=['batch_stats'], rngs={'dropout': jax.random.PRNGKey(0)})
+        return jnp.sum(rotmat ** 2) + jnp.sum(betas ** 2) + jnp.sum(cam ** 2)
+
+    x = jnp.ones((2, 64, 64, 3))
+    g = jax.grad(loss_fn)(variables['params'], variables['batch_stats'], x)
+    stem_g = np.asarray(g['backbone']['conv1']['kernel'])
+    assert stem_g.shape == (7, 7, 3, 64)
+    assert np.isfinite(stem_g).all() and np.abs(stem_g).sum() > 0

@@ -181,6 +181,9 @@ class TrainConfig:
     mesh_dp: int = 0                 # data-parallel devices (0 = all)
     mesh_cp: int = 1                 # contact/triangle-parallel devices
     compute_dtype: str = 'float32'   # or 'bfloat16' for the backbone
+    # Space-to-depth form of the 7x7/s2 stem conv (models/hmr.py StemS2D):
+    # exact math, same checkpoint layout; a throughput knob for the MXU
+    stem_s2d: bool = False
     seed: int = 0
 
     # Derived (filled by finalize()):

@@ -54,15 +54,61 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class StemS2D(nn.Module):
+    """Space-to-depth form of the 7x7/stride-2 stem conv (exact math).
+
+    The stock stem convolves (H, W, 3) with a 7x7 stride-2 kernel: with
+    only 3 input channels the MXU contraction dimension is 3*7=21 of 128
+    lanes, so the op is utilization-bound. The MLPerf-style rewrite: pad
+    the kernel to 8x8 (zeros), space-to-depth the input 2x2 -> 12
+    channels, and run the equivalent 4x4 stride-1 conv (contraction
+    12*4=48). Identical outputs by construction (the test suite asserts
+    bit-level agreement vs nn.Conv on CPU).
+
+    Owns the SAME param pytree as the nn.Conv it replaces
+    (conv1/kernel, (7, 7, 3, 64) HWIO): checkpoints, the torch
+    converter, and export_torch are unaffected.
+    """
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, C, 64), jnp.float32)
+        if H % 2 or W % 2:  # odd input: the plain conv (same param path)
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2),
+                ((3, 3), (3, 3)), dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        # pad (3, 5) so windows stay 2-aligned and the array is even-sized;
+        # the extra right/bottom zeros are never read by a kept output
+        p = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+        hs, ws = (H + 8) // 2, (W + 8) // 2
+        s = p.reshape(B, hs, 2, ws, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        s = s.reshape(B, hs, ws, 4 * C)
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, C, 64).transpose(0, 2, 1, 3, 4, 5)
+        k4 = k4.reshape(4, 4, 4 * C, 64)
+        y = jax.lax.conv_general_dilated(
+            s, k4.astype(self.dtype), (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y[:, :H // 2, :W // 2, :]
+
+
 class ResNet50(nn.Module):
     """ResNet-50 feature extractor -> (B, 2048) pooled features."""
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        if self.stem_s2d:
+            x = StemS2D(dtype=self.dtype, name='conv1')(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=self.dtype, name='conv1')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
@@ -89,12 +135,14 @@ class HMR(nn.Module):
     mean_cam: np.ndarray
     n_iter: int = 3
     dtype: Any = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False,
                  init_pose=None, init_shape=None, init_cam=None):
         B = images.shape[0]
-        xf = ResNet50(dtype=self.dtype, name='backbone')(
+        xf = ResNet50(dtype=self.dtype, stem_s2d=self.stem_s2d,
+                      name='backbone')(
             images.astype(self.dtype), train=train)
         xf = xf.astype(jnp.float32)
 
@@ -131,11 +179,11 @@ class HMR(nn.Module):
 
 
 def create_hmr(mean_pose6d, mean_shape, mean_cam, n_iter: int = 3,
-               dtype=jnp.float32) -> HMR:
+               dtype=jnp.float32, stem_s2d: bool = False) -> HMR:
     return HMR(mean_pose6d=np.asarray(mean_pose6d, np.float32),
                mean_shape=np.asarray(mean_shape, np.float32),
                mean_cam=np.asarray(mean_cam, np.float32),
-               n_iter=n_iter, dtype=dtype)
+               n_iter=n_iter, dtype=dtype, stem_s2d=stem_s2d)
 
 
 def init_hmr(model: HMR, rng, img_res: int = 224):

@@ -146,7 +146,10 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
 
     dtype = jnp.bfloat16 if (options is not None and getattr(
         options, 'compute_dtype', 'float32') == 'bfloat16') else jnp.float32
-    hmr = hmr_mod.create_hmr(mean_pose6d, mean_shape, mean_cam, dtype=dtype)
+    stem_s2d = bool(options is not None
+                    and getattr(options, 'stem_s2d', False))
+    hmr = hmr_mod.create_hmr(mean_pose6d, mean_shape, mean_cam, dtype=dtype,
+                             stem_s2d=stem_s2d)
     variables = hmr_mod.init_hmr(hmr, jax.random.PRNGKey(init_rng),
                                  img_res=img_res)
     tuch_assets = TuchAssets(smpl=smpl, prior=prior, contact=contact_assets,
