@@ -141,3 +141,13 @@ def test_stem_s2d_gradients_finite():
     stem_g = np.asarray(g['backbone']['conv1']['kernel'])
     assert stem_g.shape == (7, 7, 3, 64)
     assert np.isfinite(stem_g).all() and np.abs(stem_g).sum() > 0
+
+
+def test_stem_s2d_bf16_promotes_fp32_input():
+    """bf16 S2D stem accepts an fp32 input like nn.Conv(dtype=bf16) does
+    (StemS2D casts the input to its compute dtype)."""
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    m = H.ResNet50(dtype=jnp.bfloat16, stem_s2d=True)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert np.isfinite(np.asarray(y, np.float32)).all()

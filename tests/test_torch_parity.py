@@ -91,12 +91,20 @@ def test_parity_cli_network_mode(tmp_path):
     assert parity.main(['--checkpoint', path]) == 0
 
 
-def test_parity_cli_skips_cleanly(monkeypatch):
+def test_parity_cli_skips_cleanly(monkeypatch, tmp_path):
     from tuch_tpu import config as cfg
     from tuch_tpu.cli import parity
     # An explicitly-passed missing path must NOT silently degrade to SKIP
     # (cli/parity.py contract: typo'd paths error with rc 2).
     assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt']) == 2
+    # Same contract inside the --ref_dump branch: a missing dump or a
+    # missing checkpoint both yield rc 2 (no crash, no degrade)
+    assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt',
+                        '--ref_dump', '/nonexistent/parity.npz']) == 2
+    dump = tmp_path / 'parity.npz'
+    np.savez(str(dump), n=np.asarray(0))
+    assert parity.main(['--checkpoint', '/nonexistent/ckpt.pt',
+                        '--ref_dump', str(dump)]) == 2
     # Without --checkpoint and with no default asset present, skip cleanly.
     monkeypatch.setattr(cfg, 'SPIN_MODEL_CHECKPOINT', '/nonexistent/spin.pt')
     assert parity.main([]) == 0

@@ -191,6 +191,11 @@ def main(argv=None) -> int:
     if args.ref_dump:
         if not args.checkpoint:
             print('--ref_dump needs --checkpoint'); return 2
+        if not os.path.isfile(args.checkpoint):
+            # same explicit-path contract as below: never degrade a
+            # typo'd path to a crash or a silent skip
+            print(f'ERROR: --checkpoint {args.checkpoint} does not exist')
+            return 2
         return check_against_dump(args)
 
     if args.checkpoint and not os.path.isfile(args.checkpoint):

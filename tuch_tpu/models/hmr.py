@@ -62,8 +62,10 @@ class StemS2D(nn.Module):
     lanes, so the op is utilization-bound. The MLPerf-style rewrite: pad
     the kernel to 8x8 (zeros), space-to-depth the input 2x2 -> 12
     channels, and run the equivalent 4x4 stride-1 conv (contraction
-    12*4=48). Identical outputs by construction (the test suite asserts
-    bit-level agreement vs nn.Conv on CPU).
+    12*4=48). Mathematically identical by construction; floating-point
+    reassociation differs, so outputs match nn.Conv to fp32 tolerance
+    (2e-5 through the full backbone on CPU, tests/test_hmr.py), not
+    bitwise.
 
     Owns the SAME param pytree as the nn.Conv it replaces
     (conv1/kernel, (7, 7, 3, 64) HWIO): checkpoints, the torch
@@ -74,6 +76,7 @@ class StemS2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        x = x.astype(self.dtype)  # promote like nn.Conv(dtype=...) does
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, C, 64), jnp.float32)
         if H % 2 or W % 2:  # odd input: the plain conv (same param path)
