@@ -7,7 +7,7 @@ batch of images is fitted in ONE jitted two-stage scan instead of a
 per-image python loop.
 
   python -m tuch_tpu.cli.demo_smplify_dc --synthetic --num_images 2 \
-      --num_smplify_iters 20 --out_dir out/smplify_dc
+      --num_smplify_iters 20
 """
 
 import os
@@ -99,7 +99,10 @@ def main(argv=None):
     renderer = Renderer(img_res=args.img_res, faces=np.asarray(smpl.faces),
                         contact_classes=runtime.contact_classes,
                         contact_csig=runtime.extras.contact_csig)
-    os.makedirs(args.out_dir, exist_ok=True)
+    # reference behavior: demo images land in the resolved log dir
+    # (log_dir/name, demo_smplify_dc.py:176); --out_dir overrides
+    out_dir = args.out_dir or args.log_dir
+    os.makedirs(out_dir, exist_ok=True)
     mean = np.asarray(constants.IMG_NORM_MEAN, np.float32)
     std = np.asarray(constants.IMG_NORM_STD, np.float32)
     init_out = smpl_forward(smpl, init_betas, init_pose[:, 3:],
@@ -119,14 +122,14 @@ def main(argv=None):
             renderer.render_rotated(np.asarray(res.vertices[i]),
                                     cam_t_np[i], 90.0, contact_vec=cv),
         ]
-        save_png(os.path.join(args.out_dir, f'{i:04d}_fit.png'),
+        save_png(os.path.join(out_dir, f'{i:04d}_fit.png'),
                  np.concatenate(tiles, axis=1))
         traj_img = renderer.visu_smplifycontactopti(
             traj_np, cam_t_np, [img01] * B, sample=i)
-        save_png(os.path.join(args.out_dir, f'{i:04d}_opti.png'), traj_img)
+        save_png(os.path.join(out_dir, f'{i:04d}_opti.png'), traj_img)
     print('reprojection loss:',
           np.asarray(res.reprojection_loss.mean(axis=-1)))
-    print('saved fits to', args.out_dir)
+    print('saved fits to', out_dir)
 
 
 if __name__ == '__main__':

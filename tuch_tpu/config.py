@@ -303,7 +303,9 @@ class SMPLifyDemoConfig(TrainConfig):
         default_factory=lambda: ['dsc_df', 'dsc_lspet', 'dsc_lsp'])
     batch_size: int = 1
     num_smplify_iters: int = 10
-    out_dir: str = 'out/smplify_dc'
+    # render output dir; '' = the resolved log dir (the reference writes
+    # demo images into log_dir/name, demo_smplify_dc.py:176)
+    out_dir: str = ''
     num_images: int = 4
 
 
