@@ -490,3 +490,39 @@ def test_loader_pads_when_batch_exceeds_dataset(synth_data, tmp_path):
     batches = list(loader.epoch_iter(LoaderState(0, 0, 0)))
     assert len(batches) >= 1
     assert batches[0]['img'].shape[0] == 3 * n - 1
+
+
+def test_project_db_keypoints_consistent(tiny_runtime):
+    """Projected synthetic keypoints must be explained by their own GT
+    pose: the GT body + lstsq camera reprojects tightly, a perturbed pose
+    does not. (This consistency is what makes the smplify accept/reject
+    gate discriminative in tools/ab_fast_knobs.py --seed_mode strong.)"""
+    from tuch_tpu.data.dataset import project_db_keypoints
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+    from tuch_tpu.utils.projection import estimate_translation, \
+        perspective_projection
+
+    db = synthetic_db(6, seed=3)
+    db = project_db_keypoints(db, tiny_runtime.assets.smpl, seed=3)
+    kp = np.concatenate([db['openpose'], db['part']], axis=1)  # (n, 49, 3)
+
+    def mean_residual(pose, betas):
+        out = smpl_forward_pose72(tiny_runtime.assets.smpl,
+                                  jnp.asarray(betas), jnp.asarray(pose))
+        cam_t = estimate_translation(out.joints, jnp.asarray(kp),
+                                     5000.0, 256.0)
+        B = kp.shape[0]
+        px = perspective_projection(
+            out.joints, jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), cam_t,
+            5000.0, jnp.full((B, 2), 128.0))
+        err = np.linalg.norm(np.asarray(px) - kp[..., :2], axis=-1)
+        w = kp[..., 2]
+        return float((err * w).sum() / w.sum())
+
+    r_gt = mean_residual(db['pose'], db['betas'])
+    rng = np.random.RandomState(0)
+    r_bad = mean_residual(
+        db['pose'] + rng.randn(*db['pose'].shape).astype(np.float32) * 0.3,
+        db['betas'])
+    assert r_gt < 15.0, r_gt          # ~2px injected noise + lstsq slack
+    assert r_bad > 3.0 * r_gt, (r_gt, r_bad)

@@ -41,6 +41,10 @@ def main(argv=None):
         n = max(4 * options.batch_size, 8)
         db = synthetic_db(n, img_dir=d, seed=options.seed,
                           num_contact_classes=P)
+        if options.synthetic_projected_kpts:
+            from tuch_tpu.data.dataset import project_db_keypoints
+            db = project_db_keypoints(db, runtime.assets.smpl,
+                                      seed=options.seed)
         names = ['dsc_lsp', 'mtp']
         datasets = [TuchDataset(options, nm, data=db, img_dir=d,
                                 dataset_id=i, num_contact_classes=P)

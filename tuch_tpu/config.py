@@ -172,6 +172,11 @@ class TrainConfig:
     synthetic_num_verts: int = 0
     grad_clip: float = 0.0           # global-norm gradient clip (0 = off)
     synthetic: bool = False          # run on synthetic assets/data
+    # --synthetic only: replace the random 2D keypoints with projections
+    # of the db's own GT SMPL joints (+2px noise), so poses have a
+    # consistent 3D explanation and the smplify accept/reject gate is
+    # discriminative (data/dataset.py project_db_keypoints)
+    synthetic_projected_kpts: bool = False
     use_hd: bool = True              # dense-surface contact in regressor loss
     # Fixed candidate count for the HD contact path: the reference gathers
     # a data-dependent number of HD points on contacting faces

@@ -221,6 +221,51 @@ class TuchDataset:
         }
 
 
+def project_db_keypoints(db: dict, smpl_model, focal_length: float = 5000.0,
+                         noise_px: float = 2.0, seed: int = 0) -> dict:
+    """Replace a synthetic db's random 2D keypoints with PROJECTIONS of its
+    own GT SMPL joints (plus small pixel noise).
+
+    synthetic_db draws keypoints uniformly at random, so no 3D pose can
+    reproject consistently -- every in-the-loop SMPLify fit is view-specific
+    overfitting and the accept/reject gate (train_module.py:259-271 in the
+    reference) saturates at accept: a fit optimized ON the current augmented
+    view always beats a stored fit transferred from another view. With
+    projected keypoints a genuinely good fit stays good across augmentation
+    views, so the gate becomes discriminative (exercised by
+    tools/ab_fast_knobs.py --seed_mode strong).
+
+    Camera: per sample, the body is placed at tz = 1.7 * f / (200 * scale)
+    so it spans the SPIN crop-box convention (box height = 200 * scale px),
+    projected around the sample's own bbox center. Joint order matches the
+    dataset assembly (25 OpenPose then 24 GT, constants.JOINT_MAP).
+    """
+    assert 'pose' in db and 'betas' in db, \
+        'project_db_keypoints needs a with_smpl synthetic db'
+    import jax.numpy as jnp
+
+    from tuch_tpu.models.smpl import smpl_forward_pose72
+
+    rng = np.random.RandomState(seed + 1)  # decorrelated from db content
+    out = smpl_forward_pose72(smpl_model, jnp.asarray(db['betas']),
+                              jnp.asarray(db['pose']))
+    joints = np.asarray(out.joints)                      # (n, 49, 3)
+    scale = np.asarray(db['scale'], np.float32)          # (n,)
+    center = np.asarray(db['center'], np.float32)        # (n, 2)
+    tz = 1.7 * focal_length / (200.0 * scale)            # (n,)
+    z = joints[..., 2] + tz[:, None]
+    px = focal_length * joints[..., :2] / z[..., None] \
+        + center[:, None, :]
+    px += rng.randn(*px.shape).astype(np.float32) * noise_px
+    db = dict(db)
+    op = np.array(db['openpose'], np.float32)
+    gt = np.array(db['part'], np.float32)
+    op[..., :2] = px[:, :25]
+    gt[..., :2] = px[:, 25:49]
+    db['openpose'], db['part'] = op, gt
+    return db
+
+
 def synthetic_db(num_samples: int, num_contact_classes: int = 12,
                  img_size: int = 256, seed: int = 0,
                  with_smpl: bool = True, with_contact: bool = True,
