@@ -147,3 +147,20 @@ def test_trainer_with_device_mesh(tmp_path):
     last = _json.loads(recs[-1])
     assert np.isfinite(last['train/loss'])
     assert last['train/smplify_contact_truncated_frac'] == 0.0
+
+
+def test_checkpoint_ordering_same_second(tmp_path):
+    """Two checkpoints saved within the same timestamp second must order
+    by STEP, not lexicographically ('step12' < 'step8' by name)."""
+    import os
+    from tuch_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path))
+    stamp = '2026_08_17-12_00_00'
+    for step in (8, 12):
+        d = tmp_path / f'{stamp}_step{step}_1.00'
+        d.mkdir()
+        (tmp_path / f'{stamp}_step{step}_1.00.meta.json').write_text('{}')
+    ckpts = mgr.list_checkpoints()
+    assert [os.path.basename(c) for c in ckpts] == \
+        [f'{stamp}_step8_1.00', f'{stamp}_step12_1.00']
+    assert mgr.latest().endswith('_step12_1.00')

@@ -55,14 +55,23 @@ class CheckpointManager:
                 pass
 
     def list_checkpoints(self):
+        """Checkpoint dirs ordered oldest -> newest.
+
+        Ordered by (timestamp, step): the timestamp prefix alone has
+        1-second resolution, and a pure name sort ranks 'step12' before
+        'step8' -- two saves within the same second (toy-scale epochs)
+        would make latest()/GC pick the older one.
+        """
         out = []
         if not os.path.isdir(self.save_dir):
             return out
-        for name in sorted(os.listdir(self.save_dir)):
+        for name in os.listdir(self.save_dir):
             full = os.path.join(self.save_dir, name)
             if os.path.isdir(full) and os.path.exists(full + '.meta.json'):
-                out.append(full)
-        return out
+                m = re.search(r'_step(\d+)_', name)
+                step = int(m.group(1)) if m else -1
+                out.append((name.split('_step')[0], step, full))
+        return [full for _, _, full in sorted(out)]
 
     def latest(self) -> Optional[str]:
         ckpts = self.list_checkpoints()
