@@ -332,6 +332,40 @@ def backbone_mfu(imgs_per_sec: float) -> float:
     return imgs_per_sec * RESNET50_FWD_FLOPS_224 / V5E_BF16_PEAK_FLOPS
 
 
+def input_pipeline_imgs_per_sec(n=96, src_size=448, img_res=224):
+    """Host-side input pipeline throughput, one thread.
+
+    The chip-side numbers assume the host can feed it: this measures the
+    full per-sample path a real training run pays -- PNG decode (PIL),
+    deterministic augmentation draw, fused affine crop+rotate (native C++
+    warp when built), channel noise, normalization, keypoint/pose
+    transforms -- on (src_size)^2 source frames (the reference pre-resizes
+    frames so their longest side is 448, base_dataset.py:258-265; our crop
+    slices the source box directly, so 448 is the comparable scale).
+
+    Returns imgs/s for ONE host thread; the loader's worker threads scale
+    this by core count (PIL decode and the C++ warp release the GIL).
+    """
+    import tempfile
+    from types import SimpleNamespace
+
+    from tuch_tpu.data.dataset import TuchDataset, synthetic_db
+
+    opts = SimpleNamespace(img_res=img_res, noise_factor=0.4,
+                           rot_factor=30.0, scale_factor=0.25, seed=0,
+                           ignore_3d=False)
+    with tempfile.TemporaryDirectory() as d:
+        db = synthetic_db(n, img_size=src_size, img_dir=d, seed=0)
+        ds = TuchDataset(opts, 'dsc_lsp', data=db, img_dir=d)
+        for i in range(4):                       # warm: page cache, lib init
+            ds.get(i, epoch=0)
+        t0 = time.time()
+        for i in range(n):
+            ds.get(i, epoch=1)
+        dt = time.time() - t0
+    return n / dt
+
+
 def winding_gpairs_per_sec(model, B=64):
     """Contact-kernel throughput (BASELINE.md: contact-loss GFLOP/s)."""
     import jax
@@ -558,6 +592,23 @@ def main():
         if gp is not None:
             extra['winding_gpairs_per_sec'] = round(gp, 2)
             extra['winding_gflops_per_sec'] = round(gp * 75, 1)
+        host = try_metric(input_pipeline_imgs_per_sec)
+        if host is not None:
+            extra['input_pipeline_imgs_per_sec_1thread'] = round(host, 2)
+            fast = (extra.get('train_step_breakdown') or {}).get(
+                'mixed_batch_imgs_per_sec_fast_profile')
+            if fast:
+                # host threads needed to keep one chip busy at the fastest
+                # measured train-step rate (threads scale ~linearly with
+                # cores: decode + C++ warp release the GIL)
+                extra['host_threads_to_feed_chip_fast_profile'] = round(
+                    fast / host, 2)
+    else:
+        try:
+            extra['input_pipeline_imgs_per_sec_1thread'] = round(
+                input_pipeline_imgs_per_sec(n=16), 2)
+        except Exception as e:  # pragma: no cover
+            print(f'bench extra failed: {e!r}', file=sys.stderr)
 
     result = {
         'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',

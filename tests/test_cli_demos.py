@@ -53,3 +53,64 @@ def test_demo_smplify_dc_out_dir_override(tmp_path):
                '--img_res', '64', '--num_images', '1',
                '--num_smplify_iters', '1', '--out_dir', str(override)])
     assert (override / '0000_fit.png').exists()
+
+
+def test_serve_cli_synthetic():
+    """End-to-end HTTP serving smoke: warm server, healthz, predict
+    (with bbox crop + vertices), and the 400 contract for a bad request."""
+    import base64
+    import io
+    import json
+    import threading
+    from http.client import HTTPConnection
+    from types import SimpleNamespace
+
+    import numpy as np
+    from PIL import Image
+
+    from tuch_tpu.cli import serve
+
+    args = SimpleNamespace(checkpoint=None, synthetic=True,
+                           host='127.0.0.1', port=0, img_res=64,
+                           dtype='float32', synthetic_num_verts=170)
+    httpd = serve.build_server(args)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = httpd.server_address[1]
+        conn = HTTPConnection('127.0.0.1', port, timeout=120)
+
+        conn.request('GET', '/healthz')
+        r = conn.getresponse()
+        health = json.loads(r.read())
+        assert r.status == 200 and health['status'] == 'ok'
+        assert health['warm'] is True
+
+        img = (np.random.RandomState(0).rand(80, 80, 3) * 255
+               ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format='PNG')
+        req = {'image_b64': base64.b64encode(buf.getvalue()).decode(),
+               'bbox': [10, 10, 60, 60], 'return_vertices': True}
+        conn.request('POST', '/predict', body=json.dumps(req),
+                     headers={'Content-Type': 'application/json'})
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert len(out['pose']) == 72 and len(out['betas']) == 10
+        assert len(out['camera']) == 3 and len(out['cam_t']) == 3
+        verts = np.asarray(out['vertices'])
+        # synthetic topology rounds the requested vert count (170 -> 158)
+        assert verts.ndim == 2 and verts.shape[1] == 3
+        assert 100 < verts.shape[0] <= 170
+        assert np.isfinite(np.asarray(out['pose'])).all()
+        assert out['latency_ms'] > 0
+
+        conn.request('POST', '/predict', body=json.dumps({}),
+                     headers={'Content-Type': 'application/json'})
+        r = conn.getresponse()
+        err = json.loads(r.read())
+        assert r.status == 400 and 'image_b64' in err['error']
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

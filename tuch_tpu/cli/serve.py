@@ -1,0 +1,217 @@
+"""serve: production HTTP inference server for HMR + SMPL.
+
+The reference has no serving story (its closest analog is demo_tuch.py's
+per-image loop). This wraps the same jitted forward (HMR -> SMPL ->
+weak-perspective translation, see cli/demo_tuch.py) behind a dependency-free
+stdlib HTTP server for deployment: one warm compiled program, measured
+0.80 ms on-chip per image at B=1 (bench `hmr_smpl_latency_ms_b1`), so a
+single v5e chip serves >1000 req/s before host decode becomes the bound.
+
+Endpoints:
+  GET  /healthz   -> {"status": "ok", "backend": ..., "warm": true}
+  POST /predict   -> body JSON:
+      {"image_b64": <base64 of a PNG/JPEG>,          # required
+       "bbox": [x, y, w, h],                          # optional crop box
+       "center": [cx, cy], "scale": s,                # optional, overrides
+       "return_vertices": false}                      # optional
+    response:
+      {"pose": [72 axis-angle], "betas": [10], "camera": [3 weak-persp],
+       "cam_t": [3], "latency_ms": float, "vertices": [[x,y,z]x6890]?}
+
+Usage:
+  python -m tuch_tpu.cli.serve --checkpoint ckpt.pt --port 8000
+  python -m tuch_tpu.cli.serve --synthetic --port 8000   # hermetic
+"""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class TuchPredictor:
+    """One warm jitted forward + the host-side crop path around it."""
+
+    def __init__(self, checkpoint=None, synthetic=False, dtype='float32',
+                 img_res=224, num_verts=None):
+        import jax
+        import jax.numpy as jnp
+
+        from tuch_tpu import constants, runtime as rt
+        from tuch_tpu.models.smpl import smpl_forward
+        from tuch_tpu.utils.projection import weak_perspective_to_translation
+        from tuch_tpu.utils.rotations import rotmat_to_aa
+
+        from types import SimpleNamespace
+
+        self.img_res = img_res
+        self.jnp = jnp
+        runtime = rt.build_runtime(
+            options=SimpleNamespace(compute_dtype=dtype, synthetic=False),
+            synthetic=synthetic or None, num_verts=num_verts,
+            with_segments=False, with_hd=False, with_contact=False,
+            img_res=img_res)
+        variables = runtime.variables
+        if checkpoint:
+            from tuch_tpu.train.checkpoint import load_variables
+            variables = load_variables(checkpoint, variables)
+        hmr, smpl = runtime.hmr, runtime.smpl
+        self.num_verts = int(np.asarray(smpl.v_template).shape[0])
+
+        @jax.jit
+        def forward(norm_img):
+            rotmat, betas, cam = hmr.apply(variables, norm_img, train=False)
+            out = smpl_forward(smpl, betas, rotmat[:, 1:], rotmat[:, :1],
+                               pose2rot=False)
+            cam_t = weak_perspective_to_translation(
+                cam, constants.FOCAL_LENGTH, img_res)
+            pose = jnp.nan_to_num(rotmat_to_aa(rotmat)).reshape(-1, 72)
+            return (pose.astype(jnp.float32),
+                    betas.astype(jnp.float32),
+                    cam.astype(jnp.float32),
+                    cam_t.astype(jnp.float32),
+                    out.vertices.astype(jnp.float32))
+
+        self._forward = forward
+        self._lock = threading.Lock()
+        self.warm = False
+
+    def warmup(self):
+        """Compile once at startup so the first request is not a compile."""
+        dummy = np.zeros((1, self.img_res, self.img_res, 3), np.float32)
+        import jax
+        jax.block_until_ready(self._forward(self.jnp.asarray(dummy)))
+        self.warm = True
+
+    # ------------------------------------------------------------------
+    def _crop(self, img, req):
+        from tuch_tpu.data import transforms as T
+        if 'center' in req and 'scale' in req:
+            center = np.asarray(req['center'], np.float32)
+            scale = float(req['scale'])
+        elif 'bbox' in req:
+            bbox = np.asarray(req['bbox'], np.float32)
+            center = bbox[:2] + 0.5 * bbox[2:]
+            scale = max(float(bbox[2]), float(bbox[3])) / 200.0
+        else:
+            h, w = img.shape[:2]
+            center = np.array([w / 2.0, h / 2.0], np.float32)
+            scale = max(h, w) / 200.0
+        crop = T.crop_image(img, center, scale,
+                            (self.img_res, self.img_res)) / 255.0
+        return T.normalize_image(crop)[None].astype(np.float32)
+
+    def predict(self, req: dict) -> dict:
+        from PIL import Image
+        raw = base64.b64decode(req['image_b64'])
+        with Image.open(io.BytesIO(raw)) as im:
+            img = np.asarray(im.convert('RGB'))
+        norm = self._crop(img, req)
+        t0 = time.time()
+        with self._lock:  # one in-flight device program per process
+            pose, betas, cam, cam_t, verts = [
+                np.asarray(x) for x in self._forward(self.jnp.asarray(norm))]
+        out = {
+            'pose': pose[0].tolist(),
+            'betas': betas[0].tolist(),
+            'camera': cam[0].tolist(),
+            'cam_t': cam_t[0].tolist(),
+            'latency_ms': round(1000.0 * (time.time() - t0), 3),
+        }
+        if req.get('return_vertices'):
+            out['vertices'] = verts[0].tolist()
+        return out
+
+
+def make_handler(predictor: TuchPredictor):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet request lines
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                import jax
+                self._send(200, {'status': 'ok',
+                                 'backend': jax.default_backend(),
+                                 'warm': predictor.warm})
+            else:
+                self._send(404, {'error': 'unknown path'})
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._send(404, {'error': 'unknown path'})
+                return
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                req = json.loads(self.rfile.read(n))
+                if 'image_b64' not in req:
+                    self._send(400, {'error': 'image_b64 is required'})
+                    return
+                self._send(200, predictor.predict(req))
+            except Exception as e:
+                self._send(500, {'error': repr(e)})
+
+    return Handler
+
+
+def build_server(args) -> ThreadingHTTPServer:
+    """Predictor + warmed compile + bound (not yet serving) HTTP server.
+
+    Split from main() so tests can run the server on an ephemeral port
+    (args.port = 0) in a thread.
+    """
+    predictor = TuchPredictor(checkpoint=args.checkpoint,
+                              synthetic=args.synthetic, dtype=args.dtype,
+                              img_res=args.img_res,
+                              num_verts=getattr(args, 'synthetic_num_verts',
+                                                None))
+    predictor.warmup()
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(predictor))
+    return httpd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--checkpoint', default=None,
+                   help='HMR checkpoint (.pt torch or .npz pytree)')
+    p.add_argument('--synthetic', action='store_true',
+                   help='synthetic body/weights (no assets required)')
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8000)
+    p.add_argument('--img_res', type=int, default=224)
+    p.add_argument('--synthetic_num_verts', type=int, default=None,
+                   help='toy-scale synthetic body (tests/smokes)')
+    p.add_argument('--dtype', default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='backbone compute dtype (bf16 = 1.59x throughput, '
+                        'see docs/PERFORMANCE.md for the accuracy label)')
+    args = p.parse_args(argv)
+
+    httpd = build_server(args)
+    host, port = httpd.server_address[:2]
+    print(f'serving on http://{host}:{port} (warm; POST /predict, '
+          f'GET /healthz)', flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == '__main__':
+    main()
