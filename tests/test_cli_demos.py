@@ -114,3 +114,26 @@ def test_serve_cli_synthetic():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_serve_predictor_bf16():
+    """The --dtype bfloat16 serving path: predictor builds, warms, and
+    returns finite fp32 outputs (backbone computes in bf16)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from tuch_tpu.cli.serve import TuchPredictor
+
+    p = TuchPredictor(synthetic=True, dtype='bfloat16', img_res=64,
+                      num_verts=110)
+    p.warmup()
+    img = (np.random.RandomState(2).rand(64, 64, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format='PNG')
+    out = p.predict({'image_b64': base64.b64encode(buf.getvalue()).decode()})
+    assert len(out['pose']) == 72 and len(out['betas']) == 10
+    assert np.isfinite(np.asarray(out['pose'])).all()
+    assert np.isfinite(np.asarray(out['cam_t'])).all()
