@@ -617,6 +617,13 @@ def main():
         'vs_baseline': vs,
         'extra': extra,
     }
+    if args.quick:
+        # at toy scale on CPU the dense per-sample baseline can even beat
+        # the batched streamed path -- the quick run checks plumbing, not
+        # performance
+        result['extra']['note'] = (
+            'quick mode: CPU correctness smoke at toy scale; performance '
+            'claims come from the full TPU run')
     print(json.dumps(result))
 
 
