@@ -501,26 +501,37 @@ def main():
     else:
         B, nv, iters = args.batch, 6890, args.iters
 
-    problem = build_problem(B, nv, iters)
-    ours, quality_k1 = ours_iters_per_sec(problem, with_quality=True)
-    fast, quality_k4 = ours_iters_per_sec(problem, refresh_every=4,
-                                          with_quality=True)
-    cand_k = max(16, nv // 7)  # ~1024 at full topology
-    fast_cand, quality_cand = ours_iters_per_sec(
-        problem, candidate_k=cand_k, with_quality=True)
-    fast_both, quality_both = ours_iters_per_sec(
-        problem, refresh_every=4, candidate_k=cand_k, with_quality=True)
+    try:
+        problem = build_problem(B, nv, iters)
+        ours, quality_k1 = ours_iters_per_sec(problem, with_quality=True)
+        fast, quality_k4 = ours_iters_per_sec(problem, refresh_every=4,
+                                              with_quality=True)
+        cand_k = max(16, nv // 7)  # ~1024 at full topology
+        fast_cand, quality_cand = ours_iters_per_sec(
+            problem, candidate_k=cand_k, with_quality=True)
+        fast_both, quality_both = ours_iters_per_sec(
+            problem, refresh_every=4, candidate_k=cand_k, with_quality=True)
 
-    baseline_samples = 2 if args.quick else 8
-    if args.skip_baseline:
-        baseline = vs = base_range = vs_range = None
-    else:
-        baseline, b_lo, b_hi = baseline_iters_per_sec(
-            problem, max_samples=baseline_samples,
-            chain=2 if args.quick else 5)
-        vs = round(ours / baseline, 2)
-        base_range = [round(b_lo, 4), round(b_hi, 4)]
-        vs_range = [round(ours / b_hi, 2), round(ours / b_lo, 2)]
+        baseline_samples = 2 if args.quick else 8
+        if args.skip_baseline:
+            baseline = vs = base_range = vs_range = None
+        else:
+            baseline, b_lo, b_hi = baseline_iters_per_sec(
+                problem, max_samples=baseline_samples,
+                chain=2 if args.quick else 5)
+            vs = round(ours / baseline, 2)
+            base_range = [round(b_lo, 4), round(b_hi, 4)]
+            vs_range = [round(ours / b_hi, 2), round(ours / b_lo, 2)]
+    except Exception as e:
+        # A dead device backend (e.g. the remote TPU tunnel refusing
+        # connections) must still yield ONE parseable JSON line, not a
+        # stack trace -- the driver records stdout.
+        print(json.dumps({
+            'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
+            'value': None, 'unit': 'iters/s', 'vs_baseline': None,
+            'error': 'backend unavailable / failed before the headline '
+                     'measurement completed: ' + repr(e)[:500]}))
+        sys.exit(1)
 
     extra = {
         'baseline_same_hw_iters_per_sec':
