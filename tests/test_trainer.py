@@ -164,3 +164,40 @@ def test_checkpoint_ordering_same_second(tmp_path):
     assert [os.path.basename(c) for c in ckpts] == \
         [f'{stamp}_step8_1.00', f'{stamp}_step12_1.00']
     assert mgr.latest().endswith('_step12_1.00')
+
+
+def test_time_budget_exit_checkpoints_midepoch(tmp_path):
+    """A --time_to_run exit mid-epoch persists the exact loader position
+    (the reference's flag was dead code, trainer.py:47), so --resume
+    continues from the next batch instead of the last periodic save."""
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+    opts = cfgmod.TrainConfig(
+        name='t', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=1, lr=1e-4,
+        run_smplify=False, contact_loss_weight=0.0,
+        val_and_checkpoint_freq=0.0, summary_freq=0.0, synthetic=True,
+        time_to_run=0.0)  # budget exhausted after the first step
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, None)
+    tr.fit()
+    assert int(np.asarray(tr.state.step)) == 1  # stopped after one step
+    # the exit checkpointed the mid-epoch position (periodic saves were
+    # off: val_and_checkpoint_freq=0)
+    assert len(tr.ckpt.list_checkpoints()) == 1
+
+    opts2 = cfgmod.TrainConfig(**{**opts.__dict__, 'resume': True,
+                                  'time_to_run': float('inf')})
+    opts2.finalize()
+    tr2 = Trainer(opts2, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, None)
+    assert int(np.asarray(tr2.state.step)) == 1
+    assert tr2.loader_state.epoch == 0 and tr2.loader_state.batch_idx == 1
+    tr2.fit()  # finishes the remaining 3 batches of the epoch
+    assert int(np.asarray(tr2.state.step)) == 4

@@ -220,20 +220,30 @@ class Trainer:
             if self.renderer is not None and step % summary_steps == 0:
                 self._image_summaries(batch, outputs, step)
 
-            if step % checkpoint_steps == 0:
+            saved_this_step = step % checkpoint_steps == 0
+            if saved_this_step:
                 val_error = self.validate(step)
-                self.ckpt.save(
-                    self.state,
-                    {'epoch': epoch, 'batch_idx': bi + 1,
-                     'perm_seed': self.options.seed},
-                    val_error)
-                fits_store.save_fits(
-                    self.fits_layout._replace(params=self.state.fits),
-                    self.options.checkpoint_dir)
+                self._save_checkpoint(epoch, bi, val_error)
             if time.time() > self.endtime:
+                # Time budget reached mid-epoch (the reference's
+                # --time_to_run was a dead flag, trainer.py:47): persist
+                # the exact position so --resume continues from the next
+                # batch -- a preemption-safe exit.
+                if not saved_this_step:
+                    self._save_checkpoint(epoch, bi, None)
                 break
         if pending is not None:
             self._log_train_metrics(*pending)
+
+    def _save_checkpoint(self, epoch: int, bi: int, val_error):
+        self.ckpt.save(
+            self.state,
+            {'epoch': epoch, 'batch_idx': bi + 1,
+             'perm_seed': self.options.seed},
+            val_error)
+        fits_store.save_fits(
+            self.fits_layout._replace(params=self.state.fits),
+            self.options.checkpoint_dir)
 
     def _log_train_metrics(self, metrics, step, epoch, bi):
         nb = self.loader.num_batches()
