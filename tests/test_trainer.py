@@ -201,3 +201,49 @@ def test_time_budget_exit_checkpoints_midepoch(tmp_path):
     assert tr2.loader_state.epoch == 0 and tr2.loader_state.batch_idx == 1
     tr2.fit()  # finishes the remaining 3 batches of the epoch
     assert int(np.asarray(tr2.state.step)) == 4
+
+
+def test_sigterm_graceful_preemption(tmp_path):
+    """SIGTERM during fit() finishes the in-flight step, checkpoints the
+    exact position, and returns -- the preemption-safe exit path."""
+    import os as os_mod
+    import signal
+    import threading
+
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(16, img_dir=imgdir, seed=0)
+    opts = cfgmod.TrainConfig(
+        name='t', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=3, lr=1e-4,
+        run_smplify=False, contact_loss_weight=0.0,
+        val_and_checkpoint_freq=0.0, summary_freq=0.0, synthetic=True)
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, None)
+
+    # benign fallback for the sub-ms window before fit() installs its own
+    # handler (the default action would kill the test process)
+    prev = signal.signal(signal.SIGTERM, lambda *a: None)
+    try:
+        timer = threading.Timer(
+            2.5, lambda: os_mod.kill(os_mod.getpid(), signal.SIGTERM))
+        timer.start()
+        tr.fit()
+        timer.cancel()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+    steps = int(np.asarray(tr.state.step))
+    total = 3 * (16 // 2)
+    assert 1 <= steps < total, steps   # stopped early, after a full step
+    # the exit checkpointed exactly the stopped-at state
+    ckpts = tr.ckpt.list_checkpoints()
+    assert ckpts, 'no checkpoint written on SIGTERM exit'
+    import json
+    with open(ckpts[-1] + '.meta.json') as f:
+        meta = json.load(f)
+    assert meta['step'] == steps

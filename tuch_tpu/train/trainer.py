@@ -155,20 +155,59 @@ class Trainer:
                   f'epoch {self.loader_state.epoch}, '
                   f'batch {self.loader_state.batch_idx}')
 
+        # steps already persisted (fresh: 0; resume: the restored step) --
+        # lets fit()'s final save skip when nothing ran since the last save
+        self._last_saved_step = int(np.asarray(self.state.step))
+
         self._val_fn = jax.jit(self._make_val_fn())
 
     # ------------------------------------------------------------------
     def fit(self):
-        for epoch in range(self.loader_state.epoch,
-                           self.options.num_epochs):
-            self.train_one_epoch(epoch)
-            self.loader_state = LoaderState(
-                epoch=epoch + 1, batch_idx=0,
-                perm_seed=self.loader_state.perm_seed)
-            print(f'================ EPOCH {epoch} DONE ================')
-            if time.time() > self.endtime:
-                print('time budget reached; stopping')
-                break
+        # Graceful preemption: SIGTERM (what TPU preemption/maintenance
+        # sends) collapses the time budget to "now", so the current step
+        # finishes, the exact position is checkpointed, and the process
+        # exits cleanly -- same path as --time_to_run expiry. Installed
+        # only while fit() runs, and only from the main thread (signal
+        # module restriction); tests drive it via os.kill.
+        import signal
+
+        def _on_term(signum, frame):
+            print('SIGTERM: finishing current step, checkpointing, '
+                  'exiting', flush=True)
+            self.endtime = 0.0
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:   # not the main thread
+            pass
+        try:
+            for epoch in range(self.loader_state.epoch,
+                               self.options.num_epochs):
+                self.train_one_epoch(epoch)
+                self.loader_state = LoaderState(
+                    epoch=epoch + 1, batch_idx=0,
+                    perm_seed=self.loader_state.perm_seed)
+                print(f'================ EPOCH {epoch} DONE '
+                      f'================')
+                if time.time() > self.endtime:
+                    print('time budget reached; stopping')
+                    break
+            # Final save so a completed run's last steps are never lost
+            # to the periodic save cadence (epoch boundary, batch_idx 0).
+            step = int(np.asarray(self.state.step))
+            if step != self._last_saved_step:
+                self.ckpt.save(self.state,
+                               {'epoch': self.loader_state.epoch,
+                                'batch_idx': 0,
+                                'perm_seed': self.options.seed}, None)
+                fits_store.save_fits(
+                    self.fits_layout._replace(params=self.state.fits),
+                    self.options.checkpoint_dir)
+                self._last_saved_step = step
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def train_one_epoch(self, epoch: int):
         nb = self.loader.num_batches()
@@ -244,6 +283,7 @@ class Trainer:
         fits_store.save_fits(
             self.fits_layout._replace(params=self.state.fits),
             self.options.checkpoint_dir)
+        self._last_saved_step = int(np.asarray(self.state.step))
 
     def _log_train_metrics(self, metrics, step, epoch, bi):
         nb = self.loader.num_batches()
