@@ -205,6 +205,21 @@ def main(argv=None):
     host, port = httpd.server_address[:2]
     print(f'serving on http://{host}:{port} (warm; POST /predict, '
           f'GET /healthz)', flush=True)
+
+    # Graceful stop on SIGTERM (deployment managers send it): shutdown()
+    # must run on a DIFFERENT thread than serve_forever's, so the handler
+    # spawns one.
+    import signal
+    import threading
+
+    def _on_term(signum, frame):
+        print('SIGTERM: shutting down', flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
