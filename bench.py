@@ -606,14 +606,14 @@ def main():
         host = try_metric(input_pipeline_imgs_per_sec)
         if host is not None:
             extra['input_pipeline_imgs_per_sec_1thread'] = round(host, 2)
-            fast = (extra.get('train_step_breakdown') or {}).get(
+            chip_rate = (extra.get('train_step_breakdown') or {}).get(
                 'mixed_batch_imgs_per_sec_fast_profile')
-            if fast:
+            if chip_rate:
                 # host threads needed to keep one chip busy at the fastest
                 # measured train-step rate (threads scale ~linearly with
                 # cores: decode + C++ warp release the GIL)
                 extra['host_threads_to_feed_chip_fast_profile'] = round(
-                    fast / host, 2)
+                    chip_rate / host, 2)
     else:
         try:
             extra['input_pipeline_imgs_per_sec_1thread'] = round(

@@ -106,11 +106,25 @@ def test_serve_cli_synthetic():
         assert np.isfinite(np.asarray(out['pose'])).all()
         assert out['latency_ms'] > 0
 
-        conn.request('POST', '/predict', body=json.dumps({}),
-                     headers={'Content-Type': 'application/json'})
-        r = conn.getresponse()
-        err = json.loads(r.read())
-        assert r.status == 400 and 'image_b64' in err['error']
+        # client-error contract: every malformed payload is a 400 (never
+        # a 500, which deployment alerting treats as a server fault)
+        bad_payloads = [
+            'not json',                                       # bad body
+            json.dumps({}),                                   # missing key
+            json.dumps({'image_b64': '!!!'}),                 # bad base64
+            json.dumps({'image_b64': base64.b64encode(
+                b'not an image').decode()}),                  # not an image
+            json.dumps({'image_b64': req['image_b64'],
+                        'center': [32, 32]}),                 # half override
+            json.dumps({'image_b64': req['image_b64'],
+                        'bbox': [1, 2, 3]}),                  # bad bbox
+        ]
+        for body in bad_payloads:
+            conn.request('POST', '/predict', body=body,
+                         headers={'Content-Type': 'application/json'})
+            r = conn.getresponse()
+            err = json.loads(r.read())
+            assert r.status == 400, (body, err)
     finally:
         httpd.shutdown()
         httpd.server_close()

@@ -208,7 +208,6 @@ def test_sigterm_graceful_preemption(tmp_path):
     exact position, and returns -- the preemption-safe exit path."""
     import os as os_mod
     import signal
-    import threading
 
     imgdir = str(tmp_path / 'imgs')
     db = synthetic_db(16, img_dir=imgdir, seed=0)
@@ -225,25 +224,40 @@ def test_sigterm_graceful_preemption(tmp_path):
     tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
                  mixed, None)
 
+    # deliver the signal deterministically DURING the 2nd step (a fixed
+    # wall-clock timer would race fast machines that finish the whole
+    # run first); the handler fit() installed runs immediately in the
+    # main thread, the step completes, and the loop exits after it
+    orig_step_fn = tr.step_fn
+    calls = {'n': 0}
+
+    def step_with_sigterm(state, batch):
+        calls['n'] += 1
+        if calls['n'] == 2:
+            os_mod.kill(os_mod.getpid(), signal.SIGTERM)
+        return orig_step_fn(state, batch)
+
+    tr.step_fn = step_with_sigterm
+
     # benign fallback for the sub-ms window before fit() installs its own
     # handler (the default action would kill the test process)
     prev = signal.signal(signal.SIGTERM, lambda *a: None)
     try:
-        timer = threading.Timer(
-            2.5, lambda: os_mod.kill(os_mod.getpid(), signal.SIGTERM))
-        timer.start()
         tr.fit()
-        timer.cancel()
     finally:
         signal.signal(signal.SIGTERM, prev)
 
     steps = int(np.asarray(tr.state.step))
-    total = 3 * (16 // 2)
-    assert 1 <= steps < total, steps   # stopped early, after a full step
-    # the exit checkpointed exactly the stopped-at state
+    assert steps == 2, steps   # the in-flight step finished, then exit
+    # the exit checkpointed exactly the stopped-at state and position
     ckpts = tr.ckpt.list_checkpoints()
     assert ckpts, 'no checkpoint written on SIGTERM exit'
     import json
     with open(ckpts[-1] + '.meta.json') as f:
         meta = json.load(f)
     assert meta['step'] == steps
+    assert meta['loader_state'] == {'epoch': 0, 'batch_idx': 2,
+                                    'perm_seed': opts.seed}
+    # in-memory position matches the checkpoint (an in-process re-fit
+    # must not skip the rest of the epoch)
+    assert tr.loader_state.epoch == 0 and tr.loader_state.batch_idx == 2

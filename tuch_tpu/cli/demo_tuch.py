@@ -42,8 +42,7 @@ def bbox_from_json(bbox_file):
     """Center+scale from [x, y, w, h] bbox json (demo_tuch.py:67-78)."""
     with open(bbox_file) as f:
         bbox = np.array(json.load(f)['bbox'], np.float32)
-    center = bbox[:2] + 0.5 * bbox[2:]
-    return center, max(bbox[2], bbox[3]) / 200.0
+    return T.bbox_center_scale(bbox)
 
 
 def process_image(img_file, bbox_file, openpose_file, input_res=224):
@@ -51,9 +50,7 @@ def process_image(img_file, bbox_file, openpose_file, input_res=224):
     from tuch_tpu.data.dataset import _read_image
     img = _read_image(img_file)
     if bbox_file is None and openpose_file is None:
-        h, w = img.shape[:2]
-        center = np.array([w // 2, h // 2])
-        scale = max(h, w) / 200.0
+        center, scale = T.full_image_center_scale(*img.shape[:2])
     elif bbox_file is not None:
         center, scale = bbox_from_json(bbox_file)
     else:

@@ -34,6 +34,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class ClientError(ValueError):
+    """Bad request payload -> HTTP 400 (server faults stay 500, so
+    deployment alerting/retry policies don't fire on client mistakes)."""
+
+
 class TuchPredictor:
     """One warm jitted forward + the host-side crop path around it."""
 
@@ -91,26 +96,36 @@ class TuchPredictor:
     # ------------------------------------------------------------------
     def _crop(self, img, req):
         from tuch_tpu.data import transforms as T
-        if 'center' in req and 'scale' in req:
-            center = np.asarray(req['center'], np.float32)
-            scale = float(req['scale'])
-        elif 'bbox' in req:
-            bbox = np.asarray(req['bbox'], np.float32)
-            center = bbox[:2] + 0.5 * bbox[2:]
-            scale = max(float(bbox[2]), float(bbox[3])) / 200.0
-        else:
-            h, w = img.shape[:2]
-            center = np.array([w / 2.0, h / 2.0], np.float32)
-            scale = max(h, w) / 200.0
+        if ('center' in req) != ('scale' in req):
+            raise ClientError(
+                "'center' and 'scale' must be provided together "
+                '(a half-specified crop override would silently fall '
+                'back to the bbox/full-image crop)')
+        try:
+            if 'center' in req:
+                center = np.asarray(req['center'],
+                                    np.float32).reshape(2)
+                scale = float(req['scale'])
+            elif 'bbox' in req:
+                # same crop convention as demo_tuch (shared helper)
+                center, scale = T.bbox_center_scale(req['bbox'])
+            else:
+                center, scale = T.full_image_center_scale(*img.shape[:2])
+        except (TypeError, ValueError) as e:
+            raise ClientError(f'bad crop parameters: {e}') from e
         crop = T.crop_image(img, center, scale,
                             (self.img_res, self.img_res)) / 255.0
         return T.normalize_image(crop)[None].astype(np.float32)
 
     def predict(self, req: dict) -> dict:
         from PIL import Image
-        raw = base64.b64decode(req['image_b64'])
-        with Image.open(io.BytesIO(raw)) as im:
-            img = np.asarray(im.convert('RGB'))
+        try:
+            raw = base64.b64decode(req['image_b64'], validate=True)
+            with Image.open(io.BytesIO(raw)) as im:
+                img = np.asarray(im.convert('RGB'))
+        except Exception as e:
+            raise ClientError(
+                f'image_b64 is not a decodable base64 image: {e}') from e
         norm = self._crop(img, req)
         t0 = time.time()
         with self._lock:  # one in-flight device program per process
@@ -156,11 +171,16 @@ def make_handler(predictor: TuchPredictor):
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
-                req = json.loads(self.rfile.read(n))
-                if 'image_b64' not in req:
-                    self._send(400, {'error': 'image_b64 is required'})
-                    return
+                try:
+                    req = json.loads(self.rfile.read(n))
+                except ValueError as e:
+                    raise ClientError(f'body is not valid JSON: {e}') \
+                        from e
+                if not isinstance(req, dict) or 'image_b64' not in req:
+                    raise ClientError('image_b64 is required')
                 self._send(200, predictor.predict(req))
+            except ClientError as e:
+                self._send(400, {'error': str(e)})
             except Exception as e:
                 self._send(500, {'error': repr(e)})
 

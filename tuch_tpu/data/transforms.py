@@ -44,6 +44,23 @@ def get_transform(center, scale, res: Tuple[int, int], rot: float = 0.0
     return t
 
 
+def bbox_center_scale(bbox) -> Tuple[np.ndarray, float]:
+    """[x, y, w, h] -> (center (2,), scale) in the SPIN crop convention
+    (crop square side = 200 * scale px; reference demo_tuch.py:67-78).
+    Shared by demo_tuch and the serving endpoint so a bbox always means
+    the same crop."""
+    bbox = np.asarray(bbox, np.float32).reshape(4)
+    center = bbox[:2] + 0.5 * bbox[2:]
+    return center, float(max(bbox[2], bbox[3]) / 200.0)
+
+
+def full_image_center_scale(height: int, width: int
+                            ) -> Tuple[np.ndarray, float]:
+    """Whole-frame crop box (the no-bbox fallback, demo_tuch.py:80-90)."""
+    return (np.array([width // 2, height // 2], np.float32),
+            max(height, width) / 200.0)
+
+
 def transform_points(pts: np.ndarray, t: np.ndarray) -> np.ndarray:
     """Apply a 3x3 transform to (N, 2) points (continuous, no rounding)."""
     ones = np.ones((pts.shape[0], 1))

@@ -184,7 +184,13 @@ class Trainer:
         try:
             for epoch in range(self.loader_state.epoch,
                                self.options.num_epochs):
-                self.train_one_epoch(epoch)
+                completed = self.train_one_epoch(epoch)
+                if not completed:
+                    # mid-epoch preemption/time-budget exit:
+                    # train_one_epoch already checkpointed the exact
+                    # position and set loader_state to it -- do NOT
+                    # advance to the next epoch
+                    break
                 self.loader_state = LoaderState(
                     epoch=epoch + 1, batch_idx=0,
                     perm_seed=self.loader_state.perm_seed)
@@ -194,17 +200,11 @@ class Trainer:
                     print('time budget reached; stopping')
                     break
             # Final save so a completed run's last steps are never lost
-            # to the periodic save cadence (epoch boundary, batch_idx 0).
+            # to the periodic save cadence.
             step = int(np.asarray(self.state.step))
             if step != self._last_saved_step:
-                self.ckpt.save(self.state,
-                               {'epoch': self.loader_state.epoch,
-                                'batch_idx': 0,
-                                'perm_seed': self.options.seed}, None)
-                fits_store.save_fits(
-                    self.fits_layout._replace(params=self.state.fits),
-                    self.options.checkpoint_dir)
-                self._last_saved_step = step
+                self._save_checkpoint(self.loader_state.epoch,
+                                      self.loader_state.batch_idx, None)
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
@@ -262,23 +262,39 @@ class Trainer:
             saved_this_step = step % checkpoint_steps == 0
             if saved_this_step:
                 val_error = self.validate(step)
-                self._save_checkpoint(epoch, bi, val_error)
+                self._save_checkpoint(epoch, bi + 1, val_error)
             if time.time() > self.endtime:
                 # Time budget reached mid-epoch (the reference's
                 # --time_to_run was a dead flag, trainer.py:47): persist
                 # the exact position so --resume continues from the next
-                # batch -- a preemption-safe exit.
+                # batch -- a preemption-safe exit. The in-memory
+                # loader_state tracks it too, so an in-process re-fit()
+                # (endtime extended) continues from the same place
+                # instead of skipping the rest of this epoch.
                 if not saved_this_step:
-                    self._save_checkpoint(epoch, bi, None)
-                break
+                    self._save_checkpoint(epoch, bi + 1, None)
+                self.loader_state = LoaderState(
+                    epoch=epoch, batch_idx=bi + 1,
+                    perm_seed=self.loader_state.perm_seed)
+                if pending is not None:
+                    self._log_train_metrics(*pending)
+                return False
         if pending is not None:
             self._log_train_metrics(*pending)
+        return True
 
-    def _save_checkpoint(self, epoch: int, bi: int, val_error):
+    def _save_checkpoint(self, epoch: int, next_batch_idx: int, val_error):
+        """Persist state + fits + the NEXT loader position (epoch,
+        next_batch_idx) -- the position a resume should continue from."""
         self.ckpt.save(
             self.state,
-            {'epoch': epoch, 'batch_idx': bi + 1,
-             'perm_seed': self.options.seed},
+            {'epoch': epoch, 'batch_idx': next_batch_idx,
+             # the loader's permutation seed, NOT options.seed: a resume
+             # under a different --seed must keep re-saving the original
+             # permutation stream or a second mid-epoch resume would
+             # repeat/skip samples (loader.py's exact-permutation
+             # contract)
+             'perm_seed': self.loader_state.perm_seed},
             val_error)
         fits_store.save_fits(
             self.fits_layout._replace(params=self.state.fits),
