@@ -261,3 +261,42 @@ def test_sigterm_graceful_preemption(tmp_path):
     # in-memory position matches the checkpoint (an in-process re-fit
     # must not skip the rest of the epoch)
     assert tr.loader_state.epoch == 0 and tr.loader_state.batch_idx == 2
+
+
+def test_resume_under_different_seed_keeps_perm_seed(tmp_path):
+    """Checkpoints must re-save the LOADER's permutation seed, not the
+    current --seed: a second mid-epoch resume would otherwise regenerate
+    the epoch permutation from the new seed and repeat/skip samples."""
+    import json
+
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+    base = dict(
+        name='t', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=1, lr=1e-4,
+        run_smplify=False, contact_loss_weight=0.0,
+        val_and_checkpoint_freq=0.0, summary_freq=0.0, synthetic=True,
+        time_to_run=0.0)
+    opts = cfgmod.TrainConfig(seed=1, **base)
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+    Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+            mixed, None).fit()   # 1 step, then budget exit + checkpoint
+
+    # resume with a DIFFERENT --seed; run one more step and stop again
+    opts2 = cfgmod.TrainConfig(seed=2, resume=True, **base)
+    opts2.finalize()
+    tr2 = Trainer(opts2, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, None)
+    assert tr2.loader_state.perm_seed == 1   # original stream restored
+    tr2.fit()
+
+    ckpts = tr2.ckpt.list_checkpoints()
+    with open(ckpts[-1] + '.meta.json') as f:
+        meta = json.load(f)
+    assert meta['loader_state']['perm_seed'] == 1, meta
+    assert meta['loader_state'] == {'epoch': 0, 'batch_idx': 2,
+                                    'perm_seed': 1}
