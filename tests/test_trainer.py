@@ -300,3 +300,39 @@ def test_resume_under_different_seed_keeps_perm_seed(tmp_path):
     assert meta['loader_state']['perm_seed'] == 1, meta
     assert meta['loader_state'] == {'epoch': 0, 'batch_idx': 2,
                                     'perm_seed': 1}
+
+
+def test_restore_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A checkpoint truncated by a crash mid-save must not brick resume:
+    restore() walks back to the newest intact one."""
+    imgdir = str(tmp_path / 'imgs')
+    db = synthetic_db(8, img_dir=imgdir, seed=0)
+    opts = cfgmod.TrainConfig(
+        name='t', log_dir=str(tmp_path / 'logs'), batch_size=2,
+        num_workers=0, img_res=64, num_epochs=1, lr=1e-4,
+        run_smplify=False, contact_loss_weight=0.0,
+        val_and_checkpoint_freq=0.5, summary_freq=0.0, synthetic=True)
+    opts.finalize()
+    runtime = rt.build_runtime(opts, synthetic=True, num_verts=170,
+                               img_res=64)
+    ds = TuchDataset(opts, 'mtp', data=db, img_dir=imgdir)
+    mixed = MixedDataset(opts, 'train', datasets=[ds])
+    tr = Trainer(opts, runtime.hmr, runtime.variables, runtime.assets,
+                 mixed, None)
+    tr.fit()   # periodic saves at steps 2 and 4
+    ckpts = tr.ckpt.list_checkpoints()
+    assert len(ckpts) >= 2
+
+    # simulate a crash mid-save of the NEWEST checkpoint: valid meta,
+    # truncated payload
+    import shutil
+    shutil.rmtree(ckpts[-1])
+    os.makedirs(ckpts[-1])
+
+    opts2 = cfgmod.TrainConfig(**{**opts.__dict__, 'resume': True})
+    opts2.finalize()
+    tr2 = Trainer(opts2, runtime.hmr, runtime.variables, runtime.assets,
+                  mixed, None)
+    # fell back to the intact step-2 checkpoint
+    assert int(np.asarray(tr2.state.step)) == 2
+    assert tr2.loader_state.batch_idx == 2

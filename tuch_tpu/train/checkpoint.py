@@ -38,9 +38,14 @@ class CheckpointManager:
         step = int(np.asarray(state.step))
         path = self._path(step, val_error)
         self.checkpointer.save(path, jax.device_get(state._asdict()))
-        with open(path + '.meta.json', 'w') as f:
+        # The meta write is the commit point (list_checkpoints only counts
+        # dirs WITH a .meta.json): write-then-rename so a crash mid-write
+        # leaves no half-written meta that would brick the next resume.
+        tmp = path + '.meta.json.tmp'
+        with open(tmp, 'w') as f:
             json.dump({'step': step, 'val_error': val_error,
                        'loader_state': loader_state}, f)
+        os.replace(tmp, path + '.meta.json')
         self._gc()
         return path
 
@@ -79,11 +84,33 @@ class CheckpointManager:
 
     def restore(self, template: TrainState, path: Optional[str] = None
                 ) -> Tuple[TrainState, Dict[str, Any]]:
-        """Restore into the structure of `template` (shapes must match)."""
-        path = path or self.latest()
-        if path is None:
+        """Restore into the structure of `template` (shapes must match).
+
+        With no explicit path, tries newest -> oldest: a checkpoint
+        truncated by a crash/preemption mid-save must not brick resume
+        when an older intact one exists (an explicit path still fails
+        loudly).
+        """
+        if path is not None:
+            return self._restore_one(template, path)
+        candidates = self.list_checkpoints()
+        if not candidates:
             raise FileNotFoundError('no checkpoint found in '
                                     + self.save_dir)
+        last_err = None
+        for cand in reversed(candidates):
+            try:
+                return self._restore_one(template, cand)
+            except Exception as e:  # corrupt/truncated save
+                print(f'checkpoint {cand} unreadable ({e!r}); '
+                      'falling back to the previous one', flush=True)
+                last_err = e
+        raise RuntimeError(
+            f'all {len(candidates)} checkpoints in {self.save_dir} '
+            f'failed to restore') from last_err
+
+    def _restore_one(self, template: TrainState, path: str
+                     ) -> Tuple[TrainState, Dict[str, Any]]:
         restored = self.checkpointer.restore(
             path, item=jax.device_get(template._asdict()))
         with open(path + '.meta.json') as f:
