@@ -336,3 +336,23 @@ def test_restore_falls_back_past_corrupt_checkpoint(tmp_path):
     # fell back to the intact step-2 checkpoint
     assert int(np.asarray(tr2.state.step)) == 2
     assert tr2.loader_state.batch_idx == 2
+
+
+def test_checkpoint_gc_keeps_best_val(tmp_path):
+    """GC keeps the newest max_to_keep checkpoints AND the best-val one
+    (the reference never prunes; with pruning, best must survive)."""
+    import json
+    from tuch_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    names = []
+    for i, err in enumerate([50.0, 10.0, 90.0, 80.0, 70.0]):
+        name = f'2026_08_17-12_00_{i:02d}_step{i + 1}_{err:.2f}'
+        (tmp_path / name).mkdir()
+        (tmp_path / (name + '.meta.json')).write_text(
+            json.dumps({'step': i + 1, 'val_error': err,
+                        'loader_state': {}}))
+        names.append(str(tmp_path / name))
+    mgr._gc()
+    kept = mgr.list_checkpoints()
+    # newest two (steps 4, 5) plus the best-val (step 2, err 10.0)
+    assert kept == [names[1], names[3], names[4]]

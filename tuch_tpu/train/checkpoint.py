@@ -50,8 +50,28 @@ class CheckpointManager:
         return path
 
     def _gc(self):
+        """Keep the newest max_to_keep checkpoints PLUS the best-val one.
+
+        (The reference initializes best_performance but never uses it,
+        trainer.py:78, and never deletes checkpoints at all; with pruning
+        on, the checkpoint that gated best must survive it.)
+        """
         ckpts = self.list_checkpoints()
-        for path in ckpts[:-self.max_to_keep]:
+        keep = set(ckpts[-self.max_to_keep:])
+        best, best_err = None, float('inf')
+        for path in ckpts:
+            try:
+                with open(path + '.meta.json') as f:
+                    ve = json.load(f).get('val_error')
+            except (OSError, ValueError):
+                continue
+            if ve is not None and float(ve) < best_err:
+                best, best_err = path, float(ve)
+        if best is not None:
+            keep.add(best)
+        for path in ckpts:
+            if path in keep:
+                continue
             try:
                 import shutil
                 shutil.rmtree(path, ignore_errors=True)
