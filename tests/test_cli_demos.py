@@ -125,6 +125,17 @@ def test_serve_cli_synthetic():
             r = conn.getresponse()
             err = json.loads(r.read())
             assert r.status == 400, (body, err)
+
+        # observability endpoint reflects the traffic above
+        conn.request('GET', '/metrics')
+        r = conn.getresponse()
+        m = json.loads(r.read())
+        assert r.status == 200
+        assert m['requests_ok'] == 1
+        assert m['requests_client_error'] == len(bad_payloads)
+        assert m['requests_server_error'] == 0
+        assert m['latency_samples'] == 1
+        assert m['forward_latency_ms_p50'] > 0
     finally:
         httpd.shutdown()
         httpd.server_close()

@@ -85,6 +85,11 @@ class TuchPredictor:
         self._forward = forward
         self._lock = threading.Lock()
         self.warm = False
+        # Rolling observability counters for /metrics (lock-protected;
+        # latencies keep the newest 1024 device-time samples).
+        self._stats = {'requests_ok': 0, 'requests_client_error': 0,
+                       'requests_server_error': 0}
+        self._latencies_ms = []
 
     def warmup(self):
         """Compile once at startup so the first request is not a compile."""
@@ -131,15 +136,35 @@ class TuchPredictor:
         with self._lock:  # one in-flight device program per process
             pose, betas, cam, cam_t, verts = [
                 np.asarray(x) for x in self._forward(self.jnp.asarray(norm))]
+        latency = round(1000.0 * (time.time() - t0), 3)
         out = {
             'pose': pose[0].tolist(),
             'betas': betas[0].tolist(),
             'camera': cam[0].tolist(),
             'cam_t': cam_t[0].tolist(),
-            'latency_ms': round(1000.0 * (time.time() - t0), 3),
+            'latency_ms': latency,
         }
         if req.get('return_vertices'):
             out['vertices'] = verts[0].tolist()
+        with self._lock:
+            self._latencies_ms = (self._latencies_ms + [latency])[-1024:]
+        return out
+
+    def count(self, outcome: str):
+        with self._lock:
+            self._stats[f'requests_{outcome}'] += 1
+
+    def metrics(self) -> dict:
+        with self._lock:
+            stats = dict(self._stats)
+            lats = list(self._latencies_ms)
+        out = {**stats, 'warm': self.warm}
+        if lats:
+            q = np.percentile(np.asarray(lats), [50, 90, 99])
+            out.update(forward_latency_ms_p50=round(float(q[0]), 3),
+                       forward_latency_ms_p90=round(float(q[1]), 3),
+                       forward_latency_ms_p99=round(float(q[2]), 3),
+                       latency_samples=len(lats))
         return out
 
 
@@ -162,6 +187,8 @@ def make_handler(predictor: TuchPredictor):
                 self._send(200, {'status': 'ok',
                                  'backend': jax.default_backend(),
                                  'warm': predictor.warm})
+            elif self.path == '/metrics':
+                self._send(200, predictor.metrics())
             else:
                 self._send(404, {'error': 'unknown path'})
 
@@ -178,10 +205,14 @@ def make_handler(predictor: TuchPredictor):
                         from e
                 if not isinstance(req, dict) or 'image_b64' not in req:
                     raise ClientError('image_b64 is required')
-                self._send(200, predictor.predict(req))
+                out = predictor.predict(req)
+                predictor.count('ok')
+                self._send(200, out)
             except ClientError as e:
+                predictor.count('client_error')
                 self._send(400, {'error': str(e)})
             except Exception as e:
+                predictor.count('server_error')
                 self._send(500, {'error': repr(e)})
 
     return Handler
