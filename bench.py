@@ -21,6 +21,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -487,19 +488,77 @@ def baseline_iters_per_sec(problem, max_samples=None, chain=5):
             1.0 / (hi_t * Bfull))
 
 
+def _probe_backend_once(timeout_s: float) -> bool:
+    """True iff `jax.devices()` initializes in a throwaway subprocess.
+
+    The axon TPU tunnel can die in a mode where device-plugin init HANGS
+    instead of raising (observed: >5 min stuck in platform registration),
+    so the probe must run out-of-process with a hard kill -- an in-process
+    attempt would wedge the bench itself and the driver would record
+    nothing at all.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(budget_s: float) -> bool:
+    """Poll until the default jax backend comes up or the budget expires."""
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        if _probe_backend_once(timeout_s=90):
+            return True
+        if time.time() >= deadline:
+            return False
+        if first:
+            print('device backend unavailable; retrying until it returns '
+                  f'(budget {budget_s:.0f}s)', file=sys.stderr)
+            first = False
+        time.sleep(min(20, max(1, deadline - time.time())))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
-                    help='small smoke benchmark (CPU-safe)')
+                    help='small smoke benchmark (forced onto CPU)')
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--wait-backend-s', type=float,
+                    default=float(os.environ.get(
+                        'TUCH_BENCH_WAIT_BACKEND_S', 600)),
+                    help='how long to wait for a dead device backend to '
+                         'come back before emitting the JSON error line')
     args = ap.parse_args()
 
     if args.quick:
         B, nv, iters = 4, 170, 3
+        # --quick is the hermetic correctness smoke: force CPU so it never
+        # depends on (or hangs on) the TPU tunnel. Set BOTH the env var and
+        # the config: the container's sitecustomize overrides jax_platforms
+        # after env is read (see tuch_tpu._honor_jax_platforms_env).
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     else:
         B, nv, iters = args.batch, 6890, args.iters
+        if not wait_for_backend(args.wait_backend_s):
+            print(json.dumps({
+                'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
+                'value': None, 'unit': 'iters/s', 'vs_baseline': None,
+                'error': 'device backend unavailable: jax.devices() did '
+                         'not initialize within '
+                         f'{args.wait_backend_s:.0f}s (subprocess probe; '
+                         'the axon tunnel hangs init when its relay is '
+                         'down rather than raising)'}))
+            sys.exit(1)
 
     try:
         problem = build_problem(B, nv, iters)
