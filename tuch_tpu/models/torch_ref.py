@@ -73,7 +73,9 @@ def torch_hmr_forward(sd_np, images_nhwc, mean_pose6d, mean_shape,
     (pose6d (B, 144), betas (B, 10), cam (B, 3)).
     """
     import torch
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy: jax exports arrive as non-writable numpy views, and
+    # torch.from_numpy on those is undefined behavior if ever written
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
           for k, v in sd_np.items()}
     with torch.no_grad():
         x = torch.from_numpy(
