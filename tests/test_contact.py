@@ -171,3 +171,60 @@ def test_region_pair_min_dists_geomask(rng, tiny_smpl):
         v, idx_a, idx_b, mask_a, mask_b,
         geomask=jnp.ones((V, V), bool)))
     np.testing.assert_allclose(allow, base, rtol=1e-7)
+
+
+def test_region_pair_two_phase_gradient_at_argmin(rng, tiny_smpl):
+    """The two-phase r2r form routes the WHOLE gradient to the argmin
+    pair (torch.min subgradient, tuch/smplify/losses.py:115-117): grad
+    is +-2*(va*-vb*) at exactly the two selected vertices, 0 elsewhere."""
+    model, extras = tiny_smpl
+    V = model.v_template.shape[0]
+    verts = rng.randn(1, V, 3).astype(np.float32)
+    idx_a, idx_b, mask_a, mask_b = contact.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+
+    def loss(v):
+        return contact.region_pair_min_dists(
+            v, jnp.asarray(idx_a), jnp.asarray(idx_b),
+            jnp.asarray(mask_a), jnp.asarray(mask_b))[0, 0]
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(verts)))[0]
+
+    ia0 = np.asarray(idx_a[0])[np.asarray(mask_a[0])]
+    ib0 = np.asarray(idx_b[0])[np.asarray(mask_b[0])]
+    va, vb = verts[0][ia0], verts[0][ib0]
+    d2 = ((va[:, None] - vb[None, :]) ** 2).sum(-1)
+    r, c = np.unravel_index(d2.argmin(), d2.shape)
+    i_star, j_star = ia0[r], ib0[c]
+    assert i_star != j_star
+    diff = verts[0, i_star] - verts[0, j_star]
+    np.testing.assert_allclose(g[i_star], 2 * diff, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(g[j_star], -2 * diff, rtol=1e-4, atol=1e-6)
+    touched = np.zeros(V, bool)
+    touched[[i_star, j_star]] = True
+    assert (g[~touched] == 0).all()
+
+
+def test_region_pair_all_banned_inf_and_zero_grad(tiny_smpl):
+    """A region pair whose every vertex pair is geodesically banned
+    reports +inf with NO gradient (matching the old min-over-inf form)."""
+    model, extras = tiny_smpl
+    V = model.v_template.shape[0]
+    idx_a, idx_b, mask_a, mask_b = contact.build_region_pairs(
+        extras.contact_classes, extras.contact_csig)
+    geo = np.ones((V, V), bool)
+    ia0 = np.asarray(idx_a[0])[np.asarray(mask_a[0])]
+    ib0 = np.asarray(idx_b[0])[np.asarray(mask_b[0])]
+    geo[np.repeat(ia0, len(ib0)), np.tile(ib0, len(ia0))] = False
+    v = jnp.asarray(np.asarray(model.v_template))[None]
+
+    out = np.asarray(contact.region_pair_min_dists(
+        v, idx_a, idx_b, mask_a, mask_b, geomask=jnp.asarray(geo)))
+    assert np.isinf(out[0, 0])
+    assert np.isfinite(out[0, 1:]).any() or out.shape[1] == 1
+
+    # the banned pair's +inf must not poison finite pairs' gradients
+    g = np.asarray(jax.grad(lambda vv: contact.region_pair_min_dists(
+        vv, idx_a, idx_b, mask_a, mask_b,
+        geomask=jnp.asarray(geo))[0, 1])(v))
+    assert np.isfinite(g).all()

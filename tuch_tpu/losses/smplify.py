@@ -185,6 +185,7 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
     have no prev_exterior and get the plain distance heuristic.
     """
     from tuch_tpu.ops import contact_pallas as cpk
+    from tuch_tpu.ops.gather_pallas import gather_rows
 
     vd = jax.lax.stop_gradient(verts)
     B, V, _ = vd.shape
@@ -196,7 +197,7 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
             min_d2, argmin = masked_min_cp(vd, assets.geomask, mesh)
             _, cand = jax.lax.top_k(_candidate_key(min_d2, prev_exterior),
                                     K)                   # (B, K)
-            qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
+            qpts = gather_rows(vd, cand)
             wn_c = winding_numbers_cp(qpts, vd, np.asarray(assets.faces),
                                       mesh)
             exterior = _candidate_flags((B, V), prev_exterior, cand,
@@ -215,7 +216,7 @@ def contact_neighbors(verts: jnp.ndarray, assets: ContactAssets,
         if K and K < V:
             _, cand = jax.lax.top_k(_candidate_key(min_d2, prev_exterior),
                                     K)                   # (B, K)
-            qpts = jnp.take_along_axis(vd, cand[..., None], axis=1)
+            qpts = gather_rows(vd, cand)
             if use_pallas:
                 # shrink the query tile to the candidate count, else the
                 # kernel pads K back up to the 1024 default and the
@@ -281,8 +282,15 @@ def zero_safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 def contact_distances(verts: jnp.ndarray, argmin: jnp.ndarray
                       ) -> jnp.ndarray:
-    """The differentiable half: distance to the cached nearest vertex."""
-    nearest = jnp.take_along_axis(verts, argmin[..., None], axis=1)
+    """The differentiable half: distance to the cached nearest vertex.
+
+    gather_rows routes the backward scatter-add (gradients flow to BOTH
+    contact endpoints, like the reference's re-gather at
+    tuch/smplify/losses.py:98) through the one-hot MXU kernel on TPU --
+    XLA's serialized scatter cost ~20 ms/iteration here.
+    """
+    from tuch_tpu.ops.gather_pallas import gather_rows
+    nearest = gather_rows(verts, argmin)
     return zero_safe_norm(verts - nearest)
 
 
@@ -358,11 +366,19 @@ def contact_fitting_loss(body_pose, global_orient, betas, model_joints,
     # geodesically masked like the reference (losses.py:92 masks the
     # pairwise matrix BEFORE the :115 region slice -- adjacent regions
     # must be pulled by DISTANT pairs, not their shared boundary).
+    # Compacted like the contact term: r2r is masked to ~ignore_idxs
+    # below, and compact_take puts every active sample inside capacity,
+    # so running the quadratic region matrices on the sub-batch is exact
+    # (overflow samples lose r2r exactly when they lose contact_b, and
+    # the same truncation metric covers both).
+    cgt = gt_contact if compact_idx is None else gt_contact[compact_idx]
     pair_min = contact_ops.region_pair_min_dists(
-        verts, assets.region_idx_a, assets.region_idx_b,
+        cverts, assets.region_idx_a, assets.region_idx_b,
         assets.region_mask_a, assets.region_mask_b,
-        geomask=assets.geomask)  # (B, P)
-    r2r_b = (pair_min * gt_contact).sum(axis=-1)
+        geomask=assets.geomask)  # (B|C, P)
+    r2r_b = (pair_min * cgt).sum(axis=-1)
+    if compact_idx is not None:
+        r2r_b = jnp.zeros((B,), r2r_b.dtype).at[compact_idx].set(r2r_b)
 
     opt_mask = (~ignore_idxs).astype(verts.dtype)
     contact_b = contact_b * opt_mask

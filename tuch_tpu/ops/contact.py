@@ -292,24 +292,70 @@ def region_pair_min_dists(verts: jnp.ndarray, idx_a, idx_b, mask_a, mask_b,
     (tuch/eft/loss.py:155->175), but NOT in the region contact signature
     (train_module.py:83-91 computes fresh unmasked distances) -- callers
     pick the semantics their reference site has.
+
+    Two-phase evaluation: the quadratic (R, R) masked matrix only picks
+    the ARGMIN pair under stop_gradient; the returned value is the exact
+    direct-difference squared distance of that pair, differentiable
+    through a (B, P, 3) re-gather. The gradient equals torch.min's
+    subgradient (all of it at the argmin element), while the backward
+    pass touches 2 vertices per pair instead of differentiating through
+    the full R x R matrix -- measured 45.9 -> ~13 ms per call at B=64 on
+    v5e. Direct differences also carry none of the Gram form's ~1e-7
+    cancellation noise in the VALUE (selection still uses the Gram
+    matrix; ties within its noise may pick either pair, exactly like the
+    reference's torch.min over Gram-form distances).
     """
+    vd = jax.lax.stop_gradient(verts)
+    R = idx_b.shape[1]
+    # Packed-key argmin (same trick as the Pallas masked-min kernel): the
+    # low bits of the non-negative fp32 squared distance are replaced by
+    # the column index, so ONE int32 min-reduce finds (quantized d2, col)
+    # per row; the row argmin then runs over just R keys. Keeps
+    # 23 - ceil(log2(R)) mantissa bits -- only ties within that window can
+    # pick a different pair, and the returned distance is exact either
+    # way. Falls back to a flat argmin for R > 2048 (3x slower, still
+    # correct).
+    col_bits = max(1, int(np.ceil(np.log2(max(R, 2)))))
+    use_packed = col_bits <= 11
 
     def one_pair(carry, tables):
         ia, ib, ma, mb = tables
+        allowed = ma[:, None] & mb[None, :]
+        if geomask is not None:
+            allowed = allowed & geomask[ia][:, ib]
 
         def single(v):
-            allowed = ma[:, None] & mb[None, :]
-            if geomask is not None:
-                allowed = allowed & geomask[ia][:, ib]
-            return jnp.min(masked_sq_dists_highest(v[ia], v[ib], allowed))
+            d2 = masked_sq_dists_highest(v[ia], v[ib], allowed)
+            if not use_packed:
+                flat = jnp.argmin(d2.reshape(-1))
+                return flat // R, flat % R
+            bits = jax.lax.bitcast_convert_type(jnp.maximum(d2, 0.0),
+                                                jnp.int32)
+            mask = jnp.int32(~((1 << col_bits) - 1))
+            col_iota = jnp.arange(d2.shape[1], dtype=jnp.int32)[None, :]
+            keys = jax.lax.bitwise_or(
+                jax.lax.bitwise_and(bits, mask), col_iota)
+            key1 = jnp.min(keys, axis=1)                  # (Ra,)
+            row = jnp.argmin(key1)
+            col = jax.lax.bitwise_and(key1[row],
+                                      jnp.int32((1 << col_bits) - 1))
+            return row, col
 
-        return carry, jax.vmap(single)(verts)
+        row, col = jax.vmap(single)(vd)                    # (B,), (B,)
+        return carry, (ia[row], ib[col], ~jnp.any(allowed))
 
     # scan over pairs keeps the live memory at (B, R, R) instead of
     # (B, P, R, R)
-    _, mins = jax.lax.scan(one_pair, 0,
-                           (idx_a, idx_b, mask_a, mask_b))
-    return mins.T  # (B, P)
+    _, (ia_s, ib_s, banned) = jax.lax.scan(
+        one_pair, 0, (idx_a, idx_b, mask_a, mask_b))
+    ia_s = ia_s.T                                          # (B, P)
+    ib_s = ib_s.T
+    va = jnp.take_along_axis(verts, ia_s[..., None], axis=1)  # (B, P, 3)
+    vb = jnp.take_along_axis(verts, ib_s[..., None], axis=1)
+    d2 = jnp.sum((va - vb) ** 2, axis=-1)                  # (B, P)
+    # all-banned pairs report +inf with no gradient, like the old
+    # min-over-masked-matrix form
+    return jnp.where(banned[None, :], jnp.inf, d2)
 
 
 def batch_face_normals(triangles: jnp.ndarray) -> jnp.ndarray:

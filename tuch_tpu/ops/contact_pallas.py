@@ -504,7 +504,8 @@ def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
     arg = jnp.minimum(jax.lax.bitwise_and(key, _IDX_MASK), V - 1)
     # Exact distances via gather; banned-everything rows (keys at the
     # _BANNED sentinel) report inf like the streamed fallback.
-    nearest = jnp.take_along_axis(verts, arg[..., None], axis=1)
+    from tuch_tpu.ops.gather_pallas import gather_rows
+    nearest = gather_rows(verts, arg)
     d2 = jnp.sum((verts - nearest) ** 2, axis=-1)
     banned_key = jnp.int32(
         np.float32(_BANNED).view(np.int32) & ~_IDX_MASK)
