@@ -162,3 +162,80 @@ def test_serve_predictor_bf16():
     assert len(out['pose']) == 72 and len(out['betas']) == 10
     assert np.isfinite(np.asarray(out['pose'])).all()
     assert np.isfinite(np.asarray(out['cam_t'])).all()
+
+
+def test_serve_dynamic_batching():
+    """Micro-batched serving: concurrent identical requests are grouped
+    into one device forward, every response is correct and identical, and
+    a follow-up sequential request (bucket 1) agrees numerically."""
+    import base64
+    import io
+    import json
+    import threading
+    from http.client import HTTPConnection
+    from types import SimpleNamespace
+
+    import numpy as np
+    from PIL import Image
+
+    from tuch_tpu.cli import serve
+
+    args = SimpleNamespace(checkpoint=None, synthetic=True,
+                           host='127.0.0.1', port=0, img_res=64,
+                           dtype='float32', synthetic_num_verts=170,
+                           max_batch=4, batch_wait_ms=250.0)
+    httpd = serve.build_server(args)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = httpd.server_address[1]
+        img = (np.random.RandomState(1).rand(64, 64, 3) * 255
+               ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format='PNG')
+        body = json.dumps(
+            {'image_b64': base64.b64encode(buf.getvalue()).decode()})
+
+        results = [None] * 4
+
+        def fire(i):
+            conn = HTTPConnection('127.0.0.1', port, timeout=300)
+            conn.request('POST', '/predict', body=body,
+                         headers={'Content-Type': 'application/json'})
+            r = conn.getresponse()
+            results[i] = (r.status, json.loads(r.read()))
+            conn.close()
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert all(st == 200 for st, _ in results), results
+        poses = [np.asarray(out['pose']) for _, out in results]
+        for p in poses[1:]:
+            # usually one batch (identical rows); if the scheduler split
+            # them across buckets, XLA layout may reassociate -> allclose
+            np.testing.assert_allclose(poses[0], p, atol=1e-4)
+
+        # sequential request rides the bucket-1 program; XLA layout may
+        # reassociate, so compare numerically rather than bitwise
+        conn = HTTPConnection('127.0.0.1', port, timeout=300)
+        conn.request('POST', '/predict', body=body,
+                     headers={'Content-Type': 'application/json'})
+        single = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(np.asarray(single['pose']), poses[0],
+                                   atol=1e-4)
+
+        conn.request('GET', '/metrics')
+        m = json.loads(conn.getresponse().read())
+        assert m['max_batch'] == 4
+        assert m['batched_forwards'] >= 2
+        assert m['batch_size_max'] >= 2, m  # grouping actually happened
+        assert m['requests_ok'] == 5 and m['requests_server_error'] == 0
+    finally:
+        httpd.predictor.close()
+        httpd.shutdown()
+        httpd.server_close()

@@ -27,6 +27,7 @@ import argparse
 import base64
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -39,11 +40,38 @@ class ClientError(ValueError):
     deployment alerting/retry policies don't fire on client mistakes)."""
 
 
+class _Pending:
+    """One enqueued request awaiting the batcher: result or exception."""
+
+    __slots__ = ('norm', 'event', 'out', 'err')
+
+    def __init__(self, norm):
+        self.norm = norm
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+
+
 class TuchPredictor:
-    """One warm jitted forward + the host-side crop path around it."""
+    """One warm jitted forward + the host-side crop path around it.
+
+    With max_batch > 1, concurrent requests are dynamically micro-batched:
+    request threads decode/crop in parallel (PIL and the C++ warp release
+    the GIL), enqueue their normalized crop, and a single batcher thread
+    groups up to max_batch of them (waiting at most batch_wait_ms after
+    the first), pads to the next power-of-two bucket (so only
+    log2(max_batch)+1 programs ever compile — all warmed at startup), and
+    runs ONE device forward. Each sample is per-row independent (convs,
+    inference-mode BatchNorm, SMPL), so batched outputs match the B=1 path
+    up to XLA layout reassociation. Throughput rationale: the chip runs
+    ~0.8 ms at B=1 but >10k imgs/s at large batches (docs/PERFORMANCE.md),
+    so under concurrent load batching is a ~10x req/s lever for ~one
+    batch_wait of added latency.
+    """
 
     def __init__(self, checkpoint=None, synthetic=False, dtype='float32',
-                 img_res=224, num_verts=None):
+                 img_res=224, num_verts=None, max_batch=1,
+                 batch_wait_ms=2.0):
         import jax
         import jax.numpy as jnp
 
@@ -90,13 +118,86 @@ class TuchPredictor:
         self._stats = {'requests_ok': 0, 'requests_client_error': 0,
                        'requests_server_error': 0}
         self._latencies_ms = []
+        self._batch_sizes = []
+        self.max_batch = max(1, int(max_batch))
+        self._wait_s = max(0.0, float(batch_wait_ms)) / 1e3
+        self._buckets = []
+        b = 1
+        while b < self.max_batch:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(self.max_batch)
+        self._queue = None
+        self._batcher = None
+        if self.max_batch > 1:
+            self._queue = queue.Queue()
+            self._batcher = threading.Thread(target=self._batch_loop,
+                                             daemon=True)
+            self._batcher.start()
 
     def warmup(self):
-        """Compile once at startup so the first request is not a compile."""
-        dummy = np.zeros((1, self.img_res, self.img_res, 3), np.float32)
+        """Compile every batch bucket at startup so no request compiles."""
         import jax
-        jax.block_until_ready(self._forward(self.jnp.asarray(dummy)))
+        for b in self._buckets:
+            dummy = np.zeros((b, self.img_res, self.img_res, 3), np.float32)
+            jax.block_until_ready(self._forward(self.jnp.asarray(dummy)))
         self.warm = True
+
+    def close(self):
+        """Stop the batcher thread (pending requests still complete)."""
+        if self._queue is not None:
+            self._queue.put(None)
+
+    # ------------------------------------------------------------------
+    def _run_forward(self, norm):
+        """One device forward under the device lock; returns numpy."""
+        with self._lock:
+            return [np.asarray(x)
+                    for x in self._forward(self.jnp.asarray(norm))]
+
+    def _batch_loop(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self._wait_s
+            stop = False
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._dispatch(batch)
+            if stop:
+                return
+
+    def _dispatch(self, batch):
+        n = len(batch)
+        bucket = next(b for b in self._buckets if b >= n)
+        norm = np.concatenate([p.norm for p in batch], axis=0)
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + norm.shape[1:], norm.dtype)
+            norm = np.concatenate([norm, pad], axis=0)
+        try:
+            outs = self._run_forward(norm)
+        except Exception as e:  # propagate the device fault to every caller
+            for p in batch:
+                p.err = e
+                p.event.set()
+            return
+        with self._lock:
+            self._batch_sizes = (self._batch_sizes + [n])[-1024:]
+        for i, p in enumerate(batch):
+            p.out = tuple(o[i:i + 1] for o in outs)
+            p.event.set()
 
     # ------------------------------------------------------------------
     def _crop(self, img, req):
@@ -133,9 +234,16 @@ class TuchPredictor:
                 f'image_b64 is not a decodable base64 image: {e}') from e
         norm = self._crop(img, req)
         t0 = time.time()
-        with self._lock:  # one in-flight device program per process
-            pose, betas, cam, cam_t, verts = [
-                np.asarray(x) for x in self._forward(self.jnp.asarray(norm))]
+        if self._queue is not None:
+            pending = _Pending(norm)
+            self._queue.put(pending)
+            pending.event.wait()
+            if pending.err is not None:
+                raise pending.err
+            pose, betas, cam, cam_t, verts = pending.out
+        else:
+            pose, betas, cam, cam_t, verts = self._run_forward(norm)
+        # queue wait + device forward: the latency a client experiences
         latency = round(1000.0 * (time.time() - t0), 3)
         out = {
             'pose': pose[0].tolist(),
@@ -158,13 +266,19 @@ class TuchPredictor:
         with self._lock:
             stats = dict(self._stats)
             lats = list(self._latencies_ms)
-        out = {**stats, 'warm': self.warm}
+            sizes = list(self._batch_sizes)
+        out = {**stats, 'warm': self.warm, 'max_batch': self.max_batch}
         if lats:
             q = np.percentile(np.asarray(lats), [50, 90, 99])
             out.update(forward_latency_ms_p50=round(float(q[0]), 3),
                        forward_latency_ms_p90=round(float(q[1]), 3),
                        forward_latency_ms_p99=round(float(q[2]), 3),
                        latency_samples=len(lats))
+        if sizes:
+            arr = np.asarray(sizes)
+            out.update(batched_forwards=len(sizes),
+                       batch_size_p50=float(np.percentile(arr, 50)),
+                       batch_size_max=int(arr.max()))
         return out
 
 
@@ -228,10 +342,14 @@ def build_server(args) -> ThreadingHTTPServer:
                               synthetic=args.synthetic, dtype=args.dtype,
                               img_res=args.img_res,
                               num_verts=getattr(args, 'synthetic_num_verts',
-                                                None))
+                                                None),
+                              max_batch=getattr(args, 'max_batch', 1),
+                              batch_wait_ms=getattr(args, 'batch_wait_ms',
+                                                    2.0))
     predictor.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(predictor))
+    httpd.predictor = predictor  # tests / main() reach it for close()
     return httpd
 
 
@@ -250,6 +368,14 @@ def main(argv=None):
                    choices=['float32', 'bfloat16'],
                    help='backbone compute dtype (bf16 = 1.59x throughput, '
                         'see docs/PERFORMANCE.md for the accuracy label)')
+    p.add_argument('--max_batch', type=int, default=1,
+                   help='dynamic micro-batching: group up to this many '
+                        'concurrent requests into one device forward '
+                        '(power-of-two buckets, all compiled at startup). '
+                        '1 = off')
+    p.add_argument('--batch_wait_ms', type=float, default=2.0,
+                   help='max time the batcher waits for more requests '
+                        'after the first arrives')
     args = p.parse_args(argv)
 
     httpd = build_server(args)
@@ -276,6 +402,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
+        httpd.predictor.close()
         httpd.server_close()
 
 
