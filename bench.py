@@ -106,16 +106,18 @@ def ours_iters_per_sec(problem, refresh_every: int = 1,
             jnp.asarray(problem['kp']), jnp.asarray(problem['gt_contact']),
             jnp.zeros(B, bool), jnp.ones(B, bool), jnp.zeros(B, bool))
 
+    from tuch_tpu.utils.timing import fetch_sync
+
     fit_n = make_fit(iters)
     fit_1 = make_fit(1)
     res_n = fit_n(*args)
-    jax.block_until_ready(res_n)
-    jax.block_until_ready(fit_1(*args))
+    fetch_sync(res_n)
+    fetch_sync(fit_1(*args))
     t0 = time.time()
-    jax.block_until_ready(fit_n(*args))
+    fetch_sync(fit_n(*args))
     t_n = time.time() - t0
     t0 = time.time()
-    jax.block_until_ready(fit_1(*args))
+    fetch_sync(fit_1(*args))
     t_1 = time.time() - t0
     # marginal cost of (iters - 1) extra camera+body iterations; the body
     # stage dominates, so report combined adam iterations/sec. When the
@@ -208,17 +210,21 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
     batch_mixed['has_pgt_smpl'] = jnp.asarray(half)
     batch_mixed['has_disc_contact'] = jnp.asarray(1.0 - half)
 
+    from tuch_tpu.utils.timing import fetch_sync
+
     def timed(step, state, bt=None):
         bt = batch if bt is None else bt
         out = step(state, bt)
-        jax.block_until_ready(out)  # compile; block the WHOLE tree --
-        # blocking a single leaf once produced a bogus 3.8 ms "full step"
-        # through the remote tunnel (per-buffer readiness transient)
+        # sync by FETCHING output bytes, not bare block_until_ready: the
+        # tunnel reports small buffers ready before execution finishes
+        # (utils/timing.py; an earlier single-leaf block gave a bogus
+        # 3.8 ms "full step")
+        fetch_sync(out)
         ts = []
         for _ in range(reps):
             t0 = time.time()
             out = step(state, bt)
-            jax.block_until_ready(out)
+            fetch_sync(out)
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
@@ -311,16 +317,18 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
 
     # Real-valued inputs: with zero images every conv output is zero and
     # the bf16-vs-fp32 parity check degenerates to 0 == 0.
+    from tuch_tpu.utils.timing import fetch_sync
+
     x = jax.device_put(jnp.asarray(
         np.random.RandomState(0).randn(batch, 224, 224, 3)
         .astype(np.float32) * 0.5))
     out = run(x)
-    jax.block_until_ready(out)          # compile + warm
+    fetch_sync(out)                     # compile + warm
     best = float('inf')
     for _ in range(3):
         t0 = time.time()
         out = run(x)
-        jax.block_until_ready(out)
+        fetch_sync(out)
         best = min(best, time.time() - t0)
     rate = batch * n_steps / best
     if with_outputs:
@@ -374,13 +382,14 @@ def winding_gpairs_per_sec(model, B=64):
     from tuch_tpu.ops import contact_pallas as cpk
     if not cpk.pallas_available():
         return None
+    from tuch_tpu.utils.timing import fetch_sync
     v = jnp.asarray(np.asarray(model.v_template)[None].repeat(B, 0))
     f = jnp.asarray(model.faces)
-    jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
+    fetch_sync(cpk.winding_numbers_pallas(v, v, f))
     best = float('inf')
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(cpk.winding_numbers_pallas(v, v, f))
+        fetch_sync(cpk.winding_numbers_pallas(v, v, f))
         best = min(best, time.time() - t0)
     return B * v.shape[1] * f.shape[0] / best / 1e9
 
@@ -464,9 +473,10 @@ def baseline_iters_per_sec(problem, max_samples=None, chain=5):
           for i in range(B)]
     ss = [opt.init(p) for p in ps]
     # compile + warm the dispatch path
+    from tuch_tpu.utils.timing import fetch_sync
     warm = one_sample_step(ps[0], ss[0], kp[0:1, :, :2], kp[0:1, :, 2],
                            cam_t[0:1], cc[0:1])
-    jax.block_until_ready(warm[0])
+    fetch_sync(warm[0])
 
     times = []
     for i in range(B):
@@ -476,7 +486,10 @@ def baseline_iters_per_sec(problem, max_samples=None, chain=5):
             p, s = one_sample_step(p, s, kp[i:i + 1, :, :2],
                                    kp[i:i + 1, :, 2], cam_t[i:i + 1],
                                    cc[i:i + 1])
-        jax.block_until_ready(p)
+        # every leaf here is SMALL ((1,69)/(1,3) params) -- exactly the
+        # shape whose block_until_ready lies through the tunnel, so the
+        # byte-fetch sync is load-bearing for this baseline's honesty
+        fetch_sync(p)
         times.append((time.time() - t0) / chain)
     times = np.sort(np.asarray(times))
     trim = times[1:-1] if len(times) > 4 else times

@@ -28,6 +28,7 @@ def timed_scan(fn, args, chain, perturb, reps=3):
     the compute of interest.
     """
     import jax
+    from tuch_tpu.utils.timing import fetch_sync
 
     def run(first, rest):
         def body(carry, _):
@@ -38,11 +39,11 @@ def timed_scan(fn, args, chain, perturb, reps=3):
 
     runj = jax.jit(run)
     first, rest = args[0], args[1:]
-    jax.block_until_ready(runj(first, rest))  # compile + warm
+    fetch_sync(runj(first, rest))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(runj(first, rest))
+        fetch_sync(runj(first, rest))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2] / chain
 
