@@ -135,13 +135,32 @@ def ours_iters_per_sec(problem, refresh_every: int = 1,
                   'final_contact_energy': round(contact, 6)}
 
 
-def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
-    """Full production train step: HMR fwd+bwd + in-loop SMPLify-DC with
+# Train-step arms: build kwargs + which batch (plain or the flagship
+# dsc+mtp 0.5/0.5 mix). Each runs in its OWN subprocess (see
+# train_step_imgs_per_sec): a TPU device fault poisons the whole JAX
+# client, so in-process arms would lose every later measurement
+# (observed 2026-08-18: one faulted arm wiped all six extras).
+TRAIN_ARMS = {
+    'full': (dict(run_smplify=True, contact_w=1e-5), False),
+    'no_smplify': (dict(run_smplify=False, contact_w=1e-5), False),
+    'bare': (dict(run_smplify=False, contact_w=0.0), False),
+    'fast': (dict(run_smplify=True, contact_w=1e-5, refresh=4,
+                  cand_k=1024), False),
+    'mixed': (dict(run_smplify=True, contact_w=1e-5), True),
+    'mixed_compact': (dict(run_smplify=True, contact_w=1e-5,
+                           capacity='half'), True),
+    'mixed_fast': (dict(run_smplify=True, contact_w=1e-5, refresh=4,
+                        cand_k=1024, capacity='half'), True),
+}
+
+
+def train_step_arm_seconds(arm, B=64, num_smplify_iters=10, reps=3):
+    """Median seconds for ONE train-step arm (see TRAIN_ARMS), in-process.
+
+    Full production train step: HMR fwd+bwd + in-loop SMPLify-DC with
     contact + accept/reject + fits writeback + HD/segments contact loss --
     the number a training run actually moves at (reference hot loop:
     tuch/train/loss.py:240-317 + train_module.py:112-336).
-
-    Returns (imgs_per_sec, breakdown dict of step-time components).
     """
     import tempfile
 
@@ -212,54 +231,94 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10, reps=3):
 
     from tuch_tpu.utils.timing import fetch_sync
 
-    def timed(step, state, bt=None):
-        bt = batch if bt is None else bt
+    spec, use_mixed = TRAIN_ARMS[arm]
+    kwargs = dict(spec)
+    if kwargs.get('capacity') == 'half':
+        kwargs['capacity'] = B // 2
+    step, state = build(kwargs.pop('run_smplify'),
+                        kwargs.pop('contact_w'), **kwargs)
+    bt = batch_mixed if use_mixed else batch
+    out = step(state, bt)
+    # sync by FETCHING output bytes, not bare block_until_ready: the
+    # tunnel reports small buffers ready before execution finishes
+    # (utils/timing.py; an earlier single-leaf block gave a bogus
+    # 3.8 ms "full step")
+    fetch_sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
         out = step(state, bt)
-        # sync by FETCHING output bytes, not bare block_until_ready: the
-        # tunnel reports small buffers ready before execution finishes
-        # (utils/timing.py; an earlier single-leaf block gave a bogus
-        # 3.8 ms "full step")
         fetch_sync(out)
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            out = step(state, bt)
-            fetch_sync(out)
-            ts.append(time.time() - t0)
-        return float(np.median(ts))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
 
-    t_full = timed(*build(True, 1e-5))          # smplify + contact loss
-    t_no_smplify = timed(*build(False, 1e-5))   # HMR + contact loss only
-    t_bare = timed(*build(False, 0.0))          # HMR fwd/bwd only
-    # the production-fast configuration: both opt-in knobs on (quality
-    # labels for them live in fit_quality_* of the main metric)
-    t_fast = timed(*build(True, 1e-5, refresh=4, cand_k=1024))
-    # mixed batch: exact semantics with and without compaction (capacity
-    # B//2 covers every active sample -> smplify_contact_truncated_frac 0)
-    t_mixed = timed(*build(True, 1e-5), bt=batch_mixed)
-    t_mixed_compact = timed(*build(True, 1e-5, capacity=B // 2),
-                            bt=batch_mixed)
-    # the full fast profile on the flagship mix: compaction (exact) +
-    # refresh + candidate_k (measured-equivalent, docs/ab_fast_knobs)
-    t_mixed_fast = timed(*build(True, 1e-5, refresh=4, cand_k=1024,
-                                capacity=B // 2), bt=batch_mixed)
-    breakdown = {
-        'full_step_s': round(t_full, 4),
-        'smplify_in_loop_s': round(t_full - t_no_smplify, 4),
-        'regressor_contact_loss_s': round(t_no_smplify - t_bare, 4),
-        'hmr_fwd_bwd_s': round(t_bare, 4),
-        'fast_mode_step_s_refresh4_cand1024': round(t_fast, 4),
-        'fast_mode_imgs_per_sec': round(B / t_fast, 3),
-        'mixed_batch_step_s': round(t_mixed, 4),
-        'mixed_batch_step_s_compacted': round(t_mixed_compact, 4),
-        'mixed_batch_imgs_per_sec_compacted': round(B / t_mixed_compact, 3),
-        'compaction_speedup_mixed_batch': round(t_mixed / t_mixed_compact,
-                                                3),
-        'mixed_batch_step_s_fast_profile': round(t_mixed_fast, 4),
-        'mixed_batch_imgs_per_sec_fast_profile': round(B / t_mixed_fast, 3),
-        'num_smplify_iters': num_smplify_iters,
-    }
-    return B / t_full, breakdown
+
+def train_step_imgs_per_sec(B=64, num_smplify_iters=10):
+    """Times every TRAIN_ARMS arm, each in its own subprocess (device
+    faults poison the JAX client; isolation keeps one bad arm from wiping
+    the rest). Returns (imgs_per_sec or None, breakdown dict); arms that
+    fault are recorded as '<error>' strings in the breakdown.
+    """
+    import subprocess
+
+    t = {}
+    for arm in TRAIN_ARMS:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               '--train-arm', arm, '--batch', str(B),
+               '--iters', str(num_smplify_iters)]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = proc.stdout.strip().splitlines()[-1] if \
+                proc.stdout.strip() else ''
+            t[arm] = float(json.loads(line)['seconds']) \
+                if proc.returncode == 0 and line else \
+                f'<failed rc={proc.returncode}: ' \
+                f'{(proc.stderr or "")[-200:].strip()}>'
+        except Exception as e:  # pragma: no cover
+            t[arm] = f'<failed: {e!r}>'
+        if not isinstance(t[arm], float):
+            print(f'bench train arm {arm} failed: {t[arm]}',
+                  file=sys.stderr)
+
+    def ok(*arms):
+        return all(isinstance(t.get(a), float) for a in arms)
+
+    breakdown = {'num_smplify_iters': num_smplify_iters}
+    if ok('full'):
+        breakdown['full_step_s'] = round(t['full'], 4)
+    if ok('full', 'no_smplify'):
+        breakdown['smplify_in_loop_s'] = round(t['full'] - t['no_smplify'],
+                                               4)
+    if ok('no_smplify', 'bare'):
+        breakdown['regressor_contact_loss_s'] = round(
+            t['no_smplify'] - t['bare'], 4)
+    if ok('bare'):
+        breakdown['hmr_fwd_bwd_s'] = round(t['bare'], 4)
+    if ok('fast'):
+        breakdown['fast_mode_step_s_refresh4_cand1024'] = round(t['fast'],
+                                                                4)
+        breakdown['fast_mode_imgs_per_sec'] = round(B / t['fast'], 3)
+    if ok('mixed'):
+        breakdown['mixed_batch_step_s'] = round(t['mixed'], 4)
+    if ok('mixed_compact'):
+        breakdown['mixed_batch_step_s_compacted'] = round(
+            t['mixed_compact'], 4)
+        breakdown['mixed_batch_imgs_per_sec_compacted'] = round(
+            B / t['mixed_compact'], 3)
+    if ok('mixed', 'mixed_compact'):
+        breakdown['compaction_speedup_mixed_batch'] = round(
+            t['mixed'] / t['mixed_compact'], 3)
+    if ok('mixed_fast'):
+        breakdown['mixed_batch_step_s_fast_profile'] = round(
+            t['mixed_fast'], 4)
+        breakdown['mixed_batch_imgs_per_sec_fast_profile'] = round(
+            B / t['mixed_fast'], 3)
+    for arm, v in t.items():
+        if not isinstance(v, float):
+            breakdown[f'arm_{arm}_error'] = v
+    return (B / t['full'] if ok('full') else None), breakdown
 
 
 RESNET50_FWD_FLOPS_224 = 4.09e9   # per image, MACs x2, 224x224 input
@@ -544,12 +603,22 @@ def main():
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--train-arm', default=None, choices=list(TRAIN_ARMS),
+                    help='internal: time ONE train-step arm in this '
+                         'process and print {"seconds": ...} (used by the '
+                         'fault-isolating subprocess runner)')
     ap.add_argument('--wait-backend-s', type=float,
                     default=float(os.environ.get(
                         'TUCH_BENCH_WAIT_BACKEND_S', 600)),
                     help='how long to wait for a dead device backend to '
                          'come back before emitting the JSON error line')
     args = ap.parse_args()
+
+    if args.train_arm:
+        t = train_step_arm_seconds(args.train_arm, B=args.batch,
+                                   num_smplify_iters=args.iters)
+        print(json.dumps({'seconds': t}))
+        return
 
     if args.quick:
         B, nv, iters = 4, 170, 3
@@ -644,7 +713,8 @@ def main():
         step = try_metric(lambda: train_step_imgs_per_sec(
             B=B, num_smplify_iters=10))
         if step is not None:
-            extra[f'train_step_imgs_per_sec_b{B}'] = round(step[0], 3)
+            if step[0] is not None:
+                extra[f'train_step_imgs_per_sec_b{B}'] = round(step[0], 3)
             extra['train_step_breakdown'] = step[1]
         fp32 = try_metric(lambda: hmr_inference_imgs_per_sec(
             dtype='float32', with_outputs=True))

@@ -5,7 +5,8 @@ real chip (bisect_train_arm, 2026-08-18) while exact / fast pass. A fault
 poisons the whole client, so each candidate op runs in its OWN process:
     python tools/bisect_compact_op.py <op> [--c 32]
 ops: winding | masked_min | segments | neighbors | gather_bwd | r2r |
-     compact_loss | compact_loss_nocache
+     compact_loss | compact_loss_nocache | reg_contact | reg_contact_nohd |
+     neighbors_cand | reg_contact_cand | fit_fast
 """
 
 import argparse
@@ -103,6 +104,60 @@ def main():
                 gt_contact, ignore, jnp.ones(B, bool), 0.02,
                 contact_loss_weight=2000.0, cached_neighbors=cached,
                 compact_idx=cidx)
+        g = jax.grad(f)(poseB)
+        print(args.op, 'ok', float(g.sum()))
+    elif args.op == 'neighbors_cand':
+        ext0 = jnp.asarray(rng.rand(C, V) > 0.1)
+        ext, am = L.contact_neighbors(verts, ca, candidate_k=984,
+                                      prev_exterior=ext0)
+        print('neighbors_cand ok', int(ext.sum()), int(am.sum()))
+    elif args.op == 'reg_contact_cand':
+        from tuch_tpu.losses import regressor as R
+        B = 2 * C
+        poseB = jnp.asarray((rng.randn(B, 72) * 0.2).astype(np.float32))
+        valid = jnp.asarray(np.arange(B) % 2 == 1, jnp.float32)
+
+        def f(p):
+            o = smpl_forward_pose72(model, jnp.zeros((B, 10)), p)
+            loss, aux = R.contact_loss(o.vertices, ca, valid, 0.02,
+                                       hd=runtime.assets.hd, hd_k=1024,
+                                       candidate_k=1024, capacity=C)
+            return loss
+        g = jax.grad(f)(poseB)
+        print('reg_contact_cand ok', float(g.sum()))
+    elif args.op == 'fit_fast':
+        from tuch_tpu.fitting.smplify_dc import SMPLifyConfig, smplify_dc
+        B = 2 * C
+        poseB = jnp.asarray((rng.randn(B, 72) * 0.2).astype(np.float32))
+        P = ca.region_idx_a.shape[0]
+        gt_contact = jnp.asarray((rng.rand(B, P) > 0.6).astype(np.float32))
+        ignore = jnp.asarray(np.arange(B) % 2 == 0)
+        cfg = SMPLifyConfig(num_iters=10, euclthres=0.02,
+                            contact_loss_weight=2000.0,
+                            exterior_refresh_every=4,
+                            contact_candidate_k=1024,
+                            contact_capacity=C)
+        res = jax.jit(lambda p: smplify_dc(
+            model, prior, ca, p, jnp.zeros((B, 10)),
+            jnp.tile(jnp.asarray([[0, 0, 20.0]]), (B, 1)),
+            jnp.full((B, 2), 112.0),
+            jnp.concatenate([rng.uniform(0, 224, (B, 49, 2)),
+                             np.ones((B, 49, 1))], -1).astype(np.float32),
+            gt_contact, ignore, jnp.ones(B, bool), jnp.ones(B, bool),
+            cfg))(poseB)
+        print('fit_fast ok', float(res.pose.sum()))
+    elif args.op in ('reg_contact', 'reg_contact_nohd'):
+        from tuch_tpu.losses import regressor as R
+        B = 2 * C
+        poseB = jnp.asarray((rng.randn(B, 72) * 0.2).astype(np.float32))
+        valid = jnp.asarray(np.arange(B) % 2 == 1, jnp.float32)
+        hd = runtime.assets.hd if args.op == 'reg_contact' else None
+
+        def f(p):
+            o = smpl_forward_pose72(model, jnp.zeros((B, 10)), p)
+            loss, aux = R.contact_loss(o.vertices, ca, valid, 0.02,
+                                       hd=hd, hd_k=1024, capacity=C)
+            return loss
         g = jax.grad(f)(poseB)
         print(args.op, 'ok', float(g.sum()))
     else:

@@ -2,6 +2,7 @@
 the client, so arms must be isolated to bisect). Usage:
     python tools/bisect_train_arm.py <arm>
 arms: exact | no_smplify | bare | fast | mixed | mixed_compact | mixed_fast
+      | mixed_compact_smplify | mixed_compact_reg
 """
 
 import sys
@@ -32,6 +33,10 @@ def main():
                               mixed=True),
         'mixed_fast': dict(run_smplify=True, w=1e-5, refresh=4,
                            cand_k=1024, capacity=B // 2, mixed=True),
+        'mixed_compact_smplify': dict(run_smplify=True, w=1e-5,
+                                      s_capacity=B // 2, mixed=True),
+        'mixed_compact_reg': dict(run_smplify=True, w=1e-5,
+                                  r_capacity=B // 2, mixed=True),
     }[arm]
 
     options = cfgmod.TrainConfig(
@@ -41,8 +46,10 @@ def main():
         use_contact_in_the_loop=spec['run_smplify'],
         smplify_exterior_refresh=spec.get('refresh', 1),
         contact_candidate_k=spec.get('cand_k', 0),
-        smplify_contact_capacity=spec.get('capacity', 0),
-        regressor_contact_capacity=spec.get('capacity', 0),
+        smplify_contact_capacity=spec.get('s_capacity',
+                                          spec.get('capacity', 0)),
+        regressor_contact_capacity=spec.get('r_capacity',
+                                            spec.get('capacity', 0)),
         contact_loss_weight=spec['w'], num_workers=0)
     options.finalize()
     optimizer = optax.adam(options.lr)
@@ -82,9 +89,16 @@ def main():
         batch['has_pgt_smpl'] = jnp.asarray(half)
         batch['has_disc_contact'] = jnp.asarray(1.0 - half)
 
-    out = jax.jit(step)(state, batch)
+    import time
+    t0 = time.time()
+    compiled = jax.jit(step).lower(state, batch).compile()
+    print(f'ARM {arm}: compiled in {time.time() - t0:.1f}s', flush=True)
+    if '--compile-only' in sys.argv:
+        return
+    t0 = time.time()
+    out = compiled(state, batch)
     jax.block_until_ready(out)
-    print(f'ARM {arm}: OK')
+    print(f'ARM {arm}: OK (executed in {time.time() - t0:.1f}s)')
 
 
 if __name__ == '__main__':

@@ -514,7 +514,15 @@ def masked_min_dist_pallas(verts: jnp.ndarray, geomask_u8: jnp.ndarray,
 
 
 def pallas_available() -> bool:
-    """True when running on a TPU backend where these kernels compile."""
+    """True when running on a TPU backend where these kernels compile.
+
+    TUCH_PALLAS=0 forces the streamed jnp fallbacks even on TPU — an
+    escape hatch for debugging device faults (isolates Pallas kernels
+    from the rest of a program) or working around a Mosaic regression.
+    """
+    import os
+    if os.environ.get('TUCH_PALLAS', '1') == '0':
+        return False
     if not _HAS_PALLAS:
         return False
     try:

@@ -197,12 +197,9 @@ def scatter_add_rows_pallas(contrib: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _pallas_ok() -> bool:
-    if not _HAS_PALLAS:
-        return False
-    try:
-        return jax.devices()[0].platform in ('tpu', 'axon')
-    except Exception:  # pragma: no cover
-        return False
+    # honors the TUCH_PALLAS=0 escape hatch (see contact_pallas)
+    from tuch_tpu.ops.contact_pallas import pallas_available
+    return pallas_available()
 
 
 @jax.custom_vjp
