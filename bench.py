@@ -14,6 +14,16 @@ streamed. The quotient is the architectural speedup on identical hardware;
 the CUDA baseline would only be slower than this baseline (it serializes
 the same work on a lower-FLOPs part).
 
+Driver-proofing (r04): the orchestrator process never creates a JAX
+client -- every measurement runs in its own subprocess, strictly one at a
+time (the axon tunnel is single-client; r03's device faults hit exactly
+the in-process extras that shared the tunnel with subprocess arms). The
+headline JSON line is printed and flushed as soon as headline + baseline
+are measured; extras are budget-gated (TUCH_BENCH_BUDGET_S, default
+1200 s) and fault-gated (after two device faults no further TPU stages
+launch); a final enriched line is printed at the end. Killing the bench
+at ANY point after the headline still leaves a parseable tail line.
+
 Usage:
   python bench.py             # full benchmark on the default device
   python bench.py --quick     # small smoke benchmark (CPU-safe)
@@ -253,35 +263,12 @@ def train_step_arm_seconds(arm, B=64, num_smplify_iters=10, reps=3):
     return float(np.median(ts))
 
 
-def train_step_imgs_per_sec(B=64, num_smplify_iters=10):
-    """Times every TRAIN_ARMS arm, each in its own subprocess (device
-    faults poison the JAX client; isolation keeps one bad arm from wiping
-    the rest). Returns (imgs_per_sec or None, breakdown dict); arms that
-    fault are recorded as '<error>' strings in the breakdown.
+def assemble_train_breakdown(t, B, num_smplify_iters):
+    """Build the train-step breakdown dict from per-arm seconds.
+
+    `t` maps arm name -> seconds (float) or an '<error/skip note>' string;
+    derived metrics only appear when every arm they need succeeded.
     """
-    import subprocess
-
-    t = {}
-    for arm in TRAIN_ARMS:
-        cmd = [sys.executable, os.path.abspath(__file__),
-               '--train-arm', arm, '--batch', str(B),
-               '--iters', str(num_smplify_iters)]
-        try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = proc.stdout.strip().splitlines()[-1] if \
-                proc.stdout.strip() else ''
-            t[arm] = float(json.loads(line)['seconds']) \
-                if proc.returncode == 0 and line else \
-                f'<failed rc={proc.returncode}: ' \
-                f'{(proc.stderr or "")[-200:].strip()}>'
-        except Exception as e:  # pragma: no cover
-            t[arm] = f'<failed: {e!r}>'
-        if not isinstance(t[arm], float):
-            print(f'bench train arm {arm} failed: {t[arm]}',
-                  file=sys.stderr)
-
     def ok(*arms):
         return all(isinstance(t.get(a), float) for a in arms)
 
@@ -318,7 +305,7 @@ def train_step_imgs_per_sec(B=64, num_smplify_iters=10):
     for arm, v in t.items():
         if not isinstance(v, float):
             breakdown[f'arm_{arm}_error'] = v
-    return (B / t['full'] if ok('full') else None), breakdown
+    return breakdown
 
 
 RESNET50_FWD_FLOPS_224 = 4.09e9   # per image, MACs x2, 224x224 input
@@ -326,7 +313,8 @@ V5E_BF16_PEAK_FLOPS = 1.97e14     # TPU v5e (lite) chip peak, bf16 MXU
 
 
 def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
-                               with_outputs=False, stem_s2d=False):
+                               with_outputs=False, stem_s2d=False,
+                               bn_fold=False):
     """TUCH inference throughput (BASELINE.md: imgs/sec/chip).
 
     A single forward at B=64 takes ~1-10 ms on chip, so one dispatch per
@@ -347,14 +335,17 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
     runtime = rt.build_runtime(synthetic=True, img_res=224,
                                with_segments=False, with_hd=False)
     hmr = runtime.hmr
-    if dtype == 'bfloat16' or stem_s2d:
+    if dtype == 'bfloat16' or stem_s2d or bn_fold:
         from tuch_tpu.models import hmr as hmr_mod
         hmr = hmr_mod.create_hmr(
             runtime.extras.mean_pose6d, runtime.extras.mean_shape,
             runtime.extras.mean_cam,
             dtype=jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32,
-            stem_s2d=stem_s2d)
+            stem_s2d=stem_s2d, bn_fold=bn_fold)
     variables = runtime.variables
+    if bn_fold:
+        from tuch_tpu.models import hmr as hmr_mod
+        variables = hmr_mod.fold_batchnorm(variables)
     smpl = runtime.smpl
 
     def fwd(imgs):
@@ -596,20 +587,160 @@ def wait_for_backend(budget_s: float) -> bool:
         time.sleep(min(20, max(1, deadline - time.time())))
 
 
+# ---------------------------------------------------------------------------
+# Stage machinery (r04). DESIGN RULE: the orchestrator process NEVER creates
+# a JAX client. r03's device faults hit exactly the in-process extras that
+# ran while subprocess arms had spun up second clients through the axon
+# tunnel (bench_full_r03.stderr: six consecutive UNAVAILABLE failures; the
+# tunnel is documented single-client, CLAUDE.md). Every measurement runs in
+# its own subprocess, strictly one at a time; the orchestrator only parses
+# JSON lines. The headline JSON line is printed (and flushed) the moment the
+# headline + baseline are measured, so a later hang/fault/budget-kill can
+# never lose it; the final line re-prints it enriched with extras (the
+# driver parses the LAST parseable line).
+# ---------------------------------------------------------------------------
+
+def run_stage_inprocess(name, B, iters, nv, baseline_samples,
+                        skip_baseline, quick=False):
+    """Execute ONE measurement stage in THIS process; returns a dict."""
+    if name == 'headline':
+        problem = build_problem(B, nv, iters)
+        ours, q = ours_iters_per_sec(problem, with_quality=True)
+        out = {'value': round(ours, 4), 'fit_quality_refresh1': q}
+        if not skip_baseline:
+            b, lo, hi = baseline_iters_per_sec(
+                problem, max_samples=baseline_samples,
+                chain=2 if quick else 5)
+            out.update(baseline=round(b, 4), b_lo=round(lo, 4),
+                       b_hi=round(hi, 4),
+                       baseline_samples=baseline_samples)
+        return out
+    if name == 'knobs':
+        problem = build_problem(B, nv, iters)
+        cand_k = max(16, nv // 7)  # ~1024 at full topology
+        fast, q4 = ours_iters_per_sec(problem, refresh_every=4,
+                                      with_quality=True)
+        fc, qc = ours_iters_per_sec(problem, candidate_k=cand_k,
+                                    with_quality=True)
+        fb, qb = ours_iters_per_sec(problem, refresh_every=4,
+                                    candidate_k=cand_k, with_quality=True)
+        # opt-in speed knobs WITH their accuracy labels (fit quality at
+        # reference semantics comes from the headline stage)
+        return {
+            'fast_mode_refresh4_iters_per_sec': round(fast, 4),
+            f'fast_mode_cand{cand_k}_iters_per_sec': round(fc, 4),
+            f'fast_mode_refresh4_cand{cand_k}_iters_per_sec': round(fb, 4),
+            'fit_quality_refresh4': q4,
+            f'fit_quality_cand{cand_k}': qc,
+            f'fit_quality_refresh4_cand{cand_k}': qb}
+    if name == 'hmr_parity':
+        fp32, v32 = hmr_inference_imgs_per_sec(dtype='float32',
+                                               with_outputs=True)
+        bf16, v16 = hmr_inference_imgs_per_sec(dtype='bfloat16',
+                                               with_outputs=True)
+        return {
+            'hmr_smpl_inference_imgs_per_sec_fp32': round(fp32, 2),
+            'hmr_backbone_mfu_fp32': round(backbone_mfu(fp32), 4),
+            'hmr_smpl_inference_imgs_per_sec_bf16': round(bf16, 2),
+            'hmr_backbone_mfu_bf16': round(backbone_mfu(bf16), 4),
+            # bf16 accuracy label: same weights, same inputs -- max vertex
+            # displacement vs the fp32 forward (meters)
+            'hmr_bf16_vs_fp32_max_vertex_delta_m': round(
+                float(np.abs(v32 - v16).max()), 6)}
+    if name == 'hmr_bf16_256':
+        r = hmr_inference_imgs_per_sec(batch=256, dtype='bfloat16',
+                                       n_steps=10)
+        return {'hmr_smpl_inference_imgs_per_sec_bf16_b256': round(r, 2),
+                'hmr_backbone_mfu_bf16_b256': round(backbone_mfu(r), 4)}
+    if name == 'hmr_bnfold':
+        # BN folded into conv weights (VERDICT r03 #5): accept/reject the
+        # serving transform with measured numbers vs the unfolded arms
+        r64, v = hmr_inference_imgs_per_sec(dtype='bfloat16',
+                                            bn_fold=True,
+                                            with_outputs=True)
+        r256 = hmr_inference_imgs_per_sec(batch=256, dtype='bfloat16',
+                                          n_steps=10, bn_fold=True)
+        return {'hmr_smpl_inference_imgs_per_sec_bf16_bnfold': round(r64, 2),
+                'hmr_backbone_mfu_bf16_bnfold': round(backbone_mfu(r64), 4),
+                'hmr_smpl_inference_imgs_per_sec_bf16_b256_bnfold':
+                    round(r256, 2),
+                'hmr_backbone_mfu_bf16_b256_bnfold':
+                    round(backbone_mfu(r256), 4)}
+    if name == 'hmr_lat1':
+        r = hmr_inference_imgs_per_sec(batch=1, dtype='float32', n_steps=50)
+        # serving latency: one image through HMR + SMPL, on-chip
+        return {'hmr_smpl_latency_ms_b1': round(1000.0 / r, 3)}
+    if name == 'winding':
+        from tuch_tpu import assets as assets_mod
+        model, _ = assets_mod.synthetic_smpl(num_verts=nv)
+        gp = winding_gpairs_per_sec(model, B=B)
+        if gp is None:
+            return {'winding_note': 'pallas unavailable on this backend'}
+        return {'winding_gpairs_per_sec': round(gp, 2),
+                'winding_gflops_per_sec': round(gp * 75, 1)}
+    if name == 'host':
+        n = 16 if quick else 96
+        return {'input_pipeline_imgs_per_sec_1thread': round(
+            input_pipeline_imgs_per_sec(n=n), 2)}
+    raise ValueError(f'unknown stage {name!r}')
+
+
+def _run_stage_subprocess(extra_argv, timeout, env_extra=None):
+    """`python bench.py <extra_argv>` in a fresh process; parse last line.
+
+    Returns (parsed dict | None, error note | None, fault: bool). `fault`
+    means the DEVICE side looks unhealthy (UNAVAILABLE / kernel fault /
+    timeout-shaped hang), as opposed to an ordinary Python error.
+    """
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__)] + extra_argv
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+    except subprocess.TimeoutExpired:
+        return None, f'<timeout after {timeout:.0f}s>', True
+    stderr = proc.stderr or ''
+    fault = ('UNAVAILABLE' in stderr or 'TPU device error' in stderr
+             or proc.returncode < 0)
+    if proc.returncode != 0:
+        return None, (f'<rc={proc.returncode}: '
+                      f'{stderr[-300:].strip()}>'), fault
+    line = (proc.stdout.strip().splitlines()[-1]
+            if proc.stdout.strip() else '')
+    try:
+        return json.loads(line), None, False
+    except Exception:
+        return None, f'<unparseable stage stdout: {line[-200:]}>', fault
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
                     help='small smoke benchmark (forced onto CPU)')
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--nv', type=int, default=6890)
     ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--baseline-samples', type=int, default=8)
+    ap.add_argument('--stage', default=None,
+                    help='internal: run ONE measurement stage in this '
+                         'process and print its JSON dict (the '
+                         'orchestrator never touches the device itself)')
     ap.add_argument('--train-arm', default=None, choices=list(TRAIN_ARMS),
                     help='internal: time ONE train-step arm in this '
-                         'process and print {"seconds": ...} (used by the '
-                         'fault-isolating subprocess runner)')
+                         'process and print {"seconds": ...}')
+    ap.add_argument('--budget', type=float,
+                    default=float(os.environ.get('TUCH_BENCH_BUDGET_S',
+                                                 1200)),
+                    help='global wall-clock budget (seconds); extras that '
+                         'do not fit are skipped with a note')
     ap.add_argument('--wait-backend-s', type=float,
                     default=float(os.environ.get(
-                        'TUCH_BENCH_WAIT_BACKEND_S', 600)),
+                        'TUCH_BENCH_WAIT_BACKEND_S', 300)),
                     help='how long to wait for a dead device backend to '
                          'come back before emitting the JSON error line')
     args = ap.parse_args()
@@ -620,164 +751,213 @@ def main():
         print(json.dumps({'seconds': t}))
         return
 
+    if args.stage:
+        out = run_stage_inprocess(
+            args.stage, B=args.batch, iters=args.iters, nv=args.nv,
+            baseline_samples=args.baseline_samples,
+            skip_baseline=args.skip_baseline)
+        print(json.dumps(out))
+        return
+
+    deadline = time.time() + args.budget
+
+    def remaining():
+        return deadline - time.time()
+
     if args.quick:
-        B, nv, iters = 4, 170, 3
         # --quick is the hermetic correctness smoke: force CPU so it never
         # depends on (or hangs on) the TPU tunnel. Set BOTH the env var and
         # the config: the container's sitecustomize overrides jax_platforms
         # after env is read (see tuch_tpu._honor_jax_platforms_env).
+        # In-process is fine here: CPU cannot fault the way the tunnel can.
+        B, nv, iters = 4, 170, 3
         os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
         jax.config.update('jax_platforms', 'cpu')
-    else:
-        B, nv, iters = args.batch, 6890, args.iters
-        if not wait_for_backend(args.wait_backend_s):
+        try:
+            hd = run_stage_inprocess('headline', B=B, iters=iters, nv=nv,
+                                     baseline_samples=2,
+                                     skip_baseline=args.skip_baseline,
+                                     quick=True)
+            extra = {'batch': B, 'num_verts': nv,
+                     'fit_quality_refresh1': hd['fit_quality_refresh1'],
+                     'note': 'quick mode: CPU correctness smoke at toy '
+                             'scale; performance claims come from the '
+                             'full TPU run'}
+            extra.update(run_stage_inprocess('host', B=B, iters=iters,
+                                             nv=nv, baseline_samples=2,
+                                             skip_baseline=True,
+                                             quick=True))
+            vs = (round(hd['value'] / hd['baseline'], 2)
+                  if 'baseline' in hd else None)
+            print(json.dumps({
+                'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
+                'value': hd['value'], 'unit': 'iters/s',
+                'vs_baseline': vs, 'extra': extra}))
+        except Exception as e:
             print(json.dumps({
                 'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
                 'value': None, 'unit': 'iters/s', 'vs_baseline': None,
-                'error': 'device backend unavailable: jax.devices() did '
-                         'not initialize within '
-                         f'{args.wait_backend_s:.0f}s (subprocess probe; '
-                         'the axon tunnel hangs init when its relay is '
-                         'down rather than raising)'}))
+                'error': repr(e)[:500]}))
             sys.exit(1)
+        return
 
-    try:
-        problem = build_problem(B, nv, iters)
-        ours, quality_k1 = ours_iters_per_sec(problem, with_quality=True)
-        fast, quality_k4 = ours_iters_per_sec(problem, refresh_every=4,
-                                              with_quality=True)
-        cand_k = max(16, nv // 7)  # ~1024 at full topology
-        fast_cand, quality_cand = ours_iters_per_sec(
-            problem, candidate_k=cand_k, with_quality=True)
-        fast_both, quality_both = ours_iters_per_sec(
-            problem, refresh_every=4, candidate_k=cand_k, with_quality=True)
+    # ---- full mode: orchestrate subprocess stages, one at a time ----
+    B, nv, iters = args.batch, args.nv, args.iters
+    metric = f'smplify_dc_contact_adam_iters_per_sec_b{B}'
 
-        baseline_samples = 2 if args.quick else 8
-        if args.skip_baseline:
-            baseline = vs = base_range = vs_range = None
-        else:
-            baseline, b_lo, b_hi = baseline_iters_per_sec(
-                problem, max_samples=baseline_samples,
-                chain=2 if args.quick else 5)
-            vs = round(ours / baseline, 2)
-            base_range = [round(b_lo, 4), round(b_hi, 4)]
-            vs_range = [round(ours / b_hi, 2), round(ours / b_lo, 2)]
-    except Exception as e:
-        # A dead device backend (e.g. the remote TPU tunnel refusing
-        # connections) must still yield ONE parseable JSON line, not a
-        # stack trace -- the driver records stdout.
+    if not wait_for_backend(min(args.wait_backend_s, args.budget)):
         print(json.dumps({
-            'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
-            'value': None, 'unit': 'iters/s', 'vs_baseline': None,
-            'error': 'backend unavailable / failed before the headline '
-                     'measurement completed: ' + repr(e)[:500]}))
+            'metric': metric, 'value': None, 'unit': 'iters/s',
+            'vs_baseline': None,
+            'error': 'device backend unavailable: jax.devices() did not '
+                     'initialize within the wait budget (subprocess '
+                     'probe; the axon tunnel hangs init when its relay '
+                     'is down rather than raising)'}))
         sys.exit(1)
 
-    extra = {
-        'baseline_same_hw_iters_per_sec':
-            None if baseline is None else round(baseline, 4),
-        'baseline_iters_per_sec_p10_p90': base_range,
-        'vs_baseline_p10_p90': vs_range,
-        'baseline_note': 'reference-structured per-sample dense algorithm '
-                         'on the same chip; trimmed mean over '
-                         f'{baseline_samples} samples x pipelined chained '
-                         'steps (device-bound timing), extrapolated to '
-                         f'the full batch of {B}; p10/p90 bounds attached'
-                         if baseline is not None else
-                         'skipped (--skip-baseline); no vs_baseline claim',
-        # Opt-in speed knobs WITH their accuracy labels: final fit quality
-        # at reference semantics (refresh 1, all-verts winding) vs
-        # exterior_refresh_every=4 vs contact_candidate_k (winding only at
-        # the cand_k nearest-pair vertices) vs both combined.
-        'fast_mode_refresh4_iters_per_sec': round(fast, 4),
-        f'fast_mode_cand{cand_k}_iters_per_sec': round(fast_cand, 4),
-        f'fast_mode_refresh4_cand{cand_k}_iters_per_sec':
-            round(fast_both, 4),
-        'fit_quality_refresh1': quality_k1,
-        'fit_quality_refresh4': quality_k4,
-        f'fit_quality_cand{cand_k}': quality_cand,
-        f'fit_quality_refresh4_cand{cand_k}': quality_both,
-        'batch': B, 'num_verts': nv,
-    }
-    if not args.quick:
-        # each extra metric is independent: a transient backend failure in
-        # one must not lose the others
-        def try_metric(fn):
-            try:
-                return fn()
-            except Exception as e:  # pragma: no cover
-                print(f'bench extra failed: {e!r}', file=sys.stderr)
-                return None
+    common = ['--batch', str(B), '--iters', str(iters), '--nv', str(nv)]
 
-        step = try_metric(lambda: train_step_imgs_per_sec(
-            B=B, num_smplify_iters=10))
-        if step is not None:
-            if step[0] is not None:
-                extra[f'train_step_imgs_per_sec_b{B}'] = round(step[0], 3)
-            extra['train_step_breakdown'] = step[1]
-        fp32 = try_metric(lambda: hmr_inference_imgs_per_sec(
-            dtype='float32', with_outputs=True))
-        if fp32 is not None:
-            extra['hmr_smpl_inference_imgs_per_sec_fp32'] = round(fp32[0], 2)
-            extra['hmr_backbone_mfu_fp32'] = round(backbone_mfu(fp32[0]), 4)
-        bf16 = try_metric(lambda: hmr_inference_imgs_per_sec(
-            dtype='bfloat16', with_outputs=True))
-        if bf16 is not None:
-            extra['hmr_smpl_inference_imgs_per_sec_bf16'] = round(bf16[0], 2)
-            extra['hmr_backbone_mfu_bf16'] = round(backbone_mfu(bf16[0]), 4)
-        bf16_256 = try_metric(lambda: hmr_inference_imgs_per_sec(
-            batch=256, dtype='bfloat16', n_steps=10))
-        if bf16_256 is not None:
-            extra['hmr_smpl_inference_imgs_per_sec_bf16_b256'] = round(
-                bf16_256, 2)
-        lat1 = try_metric(lambda: hmr_inference_imgs_per_sec(
-            batch=1, dtype='float32', n_steps=50))
-        if lat1 is not None:
-            # serving latency: one image through HMR + SMPL, on-chip
-            extra['hmr_smpl_latency_ms_b1'] = round(1000.0 / lat1, 3)
-        if fp32 is not None and bf16 is not None:
-            # bf16 accuracy label: same weights, same inputs -- max vertex
-            # displacement vs the fp32 forward (meters)
-            extra['hmr_bf16_vs_fp32_max_vertex_delta_m'] = round(
-                float(np.abs(fp32[1] - bf16[1]).max()), 6)
-        gp = try_metric(lambda: winding_gpairs_per_sec(problem['model']))
-        if gp is not None:
-            extra['winding_gpairs_per_sec'] = round(gp, 2)
-            extra['winding_gflops_per_sec'] = round(gp * 75, 1)
-        host = try_metric(input_pipeline_imgs_per_sec)
-        if host is not None:
-            extra['input_pipeline_imgs_per_sec_1thread'] = round(host, 2)
-            chip_rate = (extra.get('train_step_breakdown') or {}).get(
-                'mixed_batch_imgs_per_sec_fast_profile')
-            if chip_rate:
-                # host threads needed to keep one chip busy at the fastest
-                # measured train-step rate (threads scale ~linearly with
-                # cores: decode + C++ warp release the GIL)
-                extra['host_threads_to_feed_chip_fast_profile'] = round(
-                    chip_rate / host, 2)
+    def headline_attempt(samples, timeout):
+        argv = ['--stage', 'headline', *common,
+                '--baseline-samples', str(samples)]
+        if args.skip_baseline:
+            argv.append('--skip-baseline')
+        return _run_stage_subprocess(argv, timeout=timeout)
+
+    hd, err, fault = headline_attempt(
+        args.baseline_samples, timeout=max(120, min(1500, remaining())))
+    if hd is None and remaining() > 240:
+        print(f'headline stage failed ({err}); waiting for backend and '
+              'retrying with a lighter baseline', file=sys.stderr)
+        wait_for_backend(min(120, remaining()))
+        hd, err, fault = headline_attempt(
+            4, timeout=max(120, min(900, remaining())))
+    if hd is None:
+        print(json.dumps({
+            'metric': metric, 'value': None, 'unit': 'iters/s',
+            'vs_baseline': None,
+            'error': f'headline stage failed: {err}'}))
+        sys.exit(1)
+
+    ours = hd['value']
+    extra = {'batch': B, 'num_verts': nv,
+             'fit_quality_refresh1': hd.get('fit_quality_refresh1')}
+    if 'baseline' in hd:
+        baseline, b_lo, b_hi = hd['baseline'], hd['b_lo'], hd['b_hi']
+        vs = round(ours / baseline, 2)
+        extra.update({
+            'baseline_same_hw_iters_per_sec': baseline,
+            'baseline_iters_per_sec_p10_p90': [b_lo, b_hi],
+            'vs_baseline_p10_p90': [round(ours / b_hi, 2),
+                                    round(ours / b_lo, 2)],
+            'baseline_note':
+                'reference-structured per-sample dense algorithm on the '
+                'same chip; trimmed mean over '
+                f'{hd.get("baseline_samples")} samples x pipelined '
+                'chained steps (device-bound timing), extrapolated to '
+                f'the full batch of {B}; p10/p90 bounds attached'})
     else:
-        try:
-            extra['input_pipeline_imgs_per_sec_1thread'] = round(
-                input_pipeline_imgs_per_sec(n=16), 2)
-        except Exception as e:  # pragma: no cover
-            print(f'bench extra failed: {e!r}', file=sys.stderr)
+        vs = None
+        extra['baseline_note'] = ('skipped (--skip-baseline); no '
+                                  'vs_baseline claim')
 
-    result = {
-        'metric': f'smplify_dc_contact_adam_iters_per_sec_b{B}',
-        'value': round(ours, 4),
-        'unit': 'iters/s',
-        'vs_baseline': vs,
-        'extra': extra,
-    }
-    if args.quick:
-        # at toy scale on CPU the dense per-sample baseline can even beat
-        # the batched streamed path -- the quick run checks plumbing, not
-        # performance
-        result['extra']['note'] = (
-            'quick mode: CPU correctness smoke at toy scale; performance '
-            'claims come from the full TPU run')
-    print(json.dumps(result))
+    result = {'metric': metric, 'value': round(ours, 4),
+              'unit': 'iters/s', 'vs_baseline': vs, 'extra': extra}
+    # EARLY EMIT: from here on, nothing can lose the headline -- worst
+    # case the driver parses this very line as the tail of stdout.
+    print(json.dumps(result), flush=True)
+
+    # ---- extras: fault- and budget-gated, most valuable first ----
+    state = {'faults': 0, 'tpu_ok': True}
+
+    def note_skip(label, why):
+        extra.setdefault('skipped_stages', {})[label] = why
+
+    def on_fault(label, err_note):
+        state['faults'] += 1
+        print(f'device fault in stage {label}: {err_note}',
+              file=sys.stderr)
+        if state['faults'] >= 2:
+            state['tpu_ok'] = False
+            print('second device fault: not launching further TPU '
+                  'stages', file=sys.stderr)
+        elif not wait_for_backend(min(150, max(0, remaining()))):
+            state['tpu_ok'] = False
+
+    def stage(label, argv, timeout_s, tpu=True, env=None, min_s=60):
+        if tpu and not state['tpu_ok']:
+            note_skip(label, 'device fault earlier in the run')
+            return None
+        if remaining() < min_s:
+            note_skip(label, 'wall-clock budget exhausted')
+            return None
+        out, err2, fault2 = _run_stage_subprocess(
+            argv, timeout=min(timeout_s, remaining()), env_extra=env)
+        if out is not None:
+            extra.update(out)
+            return out
+        extra[f'{label}_error'] = err2
+        if fault2 and tpu:
+            on_fault(label, err2)
+        return None
+
+    try:
+        stage('knobs', ['--stage', 'knobs', *common], 900)
+        stage('hmr_parity', ['--stage', 'hmr_parity', *common], 600)
+        stage('winding', ['--stage', 'winding', *common], 420)
+        stage('host', ['--stage', 'host', *common], 240, tpu=False,
+              env={'JAX_PLATFORMS': 'cpu'})
+
+        arm_t = {}
+        for arm in ('full', 'no_smplify', 'bare', 'mixed',
+                    'mixed_compact', 'mixed_fast', 'fast'):
+            if not state['tpu_ok']:
+                arm_t[arm] = '<skipped: device fault earlier in the run>'
+                continue
+            if remaining() < 90:
+                arm_t[arm] = '<skipped: wall-clock budget exhausted>'
+                continue
+            out, err2, fault2 = _run_stage_subprocess(
+                ['--train-arm', arm, *common],
+                timeout=min(600, remaining()))
+            if out is not None and 'seconds' in out:
+                arm_t[arm] = float(out['seconds'])
+            else:
+                arm_t[arm] = err2 or '<failed>'
+                print(f'bench train arm {arm} failed: {arm_t[arm]}',
+                      file=sys.stderr)
+                if fault2:
+                    on_fault(f'arm_{arm}', err2)
+        extra['train_step_breakdown'] = assemble_train_breakdown(
+            arm_t, B, iters)
+        if isinstance(arm_t.get('full'), float):
+            extra[f'train_step_imgs_per_sec_b{B}'] = round(
+                B / arm_t['full'], 3)
+
+        stage('hmr_bf16_256', ['--stage', 'hmr_bf16_256', *common], 420)
+        stage('hmr_bnfold', ['--stage', 'hmr_bnfold', *common], 420)
+        stage('hmr_lat1', ['--stage', 'hmr_lat1', *common], 420)
+
+        host_rate = extra.get('input_pipeline_imgs_per_sec_1thread')
+        chip_rate = (extra.get('train_step_breakdown') or {}).get(
+            'mixed_batch_imgs_per_sec_fast_profile')
+        if host_rate and chip_rate:
+            # host threads needed to keep one chip busy at the fastest
+            # measured train-step rate (threads scale ~linearly with
+            # cores: decode + C++ warp release the GIL)
+            extra['host_threads_to_feed_chip_fast_profile'] = round(
+                chip_rate / host_rate, 2)
+    except Exception as e:  # pragma: no cover - belt and braces: the
+        # orchestrator holds no device client, so this is host-side only
+        extra['extras_error'] = repr(e)[:400]
+
+    extra['elapsed_s'] = round(time.time() - (deadline - args.budget), 1)
+    extra['budget_s'] = args.budget
+    # FINAL EMIT: same headline, enriched extras; drivers parsing the tail
+    # line get this one, drivers that killed us mid-extras got the early
+    # line.
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == '__main__':

@@ -151,3 +151,77 @@ def test_stem_s2d_bf16_promotes_fp32_input():
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     y = m.apply(v, x, train=False)
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def _randomize_bn(variables, seed=0):
+    """Give every BatchNorm non-trivial scale/bias/mean/var so the fold
+    test cannot pass vacuously (fresh init has mean=0, var=1, scale=1)."""
+    rng = np.random.RandomState(seed)
+
+    def rand_like(path, leaf):
+        names = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
+        if not any(str(n).startswith(('bn', 'downsample_bn'))
+                   for n in names):
+            return leaf
+        leaf = np.asarray(leaf)
+        last = str(names[-1])
+        if last == 'var':
+            return jnp.asarray(rng.uniform(0.2, 2.0, leaf.shape)
+                               .astype(np.float32))
+        return jnp.asarray(rng.randn(*leaf.shape).astype(np.float32) * 0.3
+                           + (1.0 if last == 'scale' else 0.0))
+
+    return jax.tree_util.tree_map_with_path(rand_like, variables)
+
+
+def test_bn_fold_equivalence():
+    """fold_batchnorm + bn_fold model == stock eval-mode model, on
+    non-trivial BN statistics, to fp32 reassociation tolerance."""
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    stock = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                         extras.mean_cam)
+    variables = _randomize_bn(
+        H.init_hmr(stock, jax.random.PRNGKey(0), img_res=64))
+    folded_model = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                                extras.mean_cam, bn_fold=True)
+    folded_vars = H.fold_batchnorm(variables)
+    # the folded tree matches the bn_fold model's own init structure
+    ref_struct = jax.tree_util.tree_structure(
+        H.init_hmr(folded_model, jax.random.PRNGKey(1), img_res=64))
+    assert jax.tree_util.tree_structure(folded_vars) == ref_struct
+
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(2, 64, 64, 3).astype(np.float32))
+    r0, b0, c0 = stock.apply(variables, x, train=False)
+    r1, b1, c1 = folded_model.apply(folded_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-4)
+
+
+def test_bn_fold_s2d_stem_compatible():
+    """bn_fold composes with the space-to-depth stem (biased StemS2D)."""
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    stock = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                         extras.mean_cam)
+    variables = _randomize_bn(
+        H.init_hmr(stock, jax.random.PRNGKey(0), img_res=64), seed=5)
+    folded = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                          extras.mean_cam, bn_fold=True, stem_s2d=True)
+    fv = H.fold_batchnorm(variables)
+    x = jnp.asarray(np.random.RandomState(7)
+                    .randn(1, 64, 64, 3).astype(np.float32))
+    r0, _, _ = stock.apply(variables, x, train=False)
+    r1, _, _ = folded.apply(fv, x, train=False)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-4)
+
+
+def test_bn_fold_rejects_train_mode():
+    import pytest
+    _, extras = assets.synthetic_smpl(num_verts=170)
+    folded = H.create_hmr(extras.mean_pose6d, extras.mean_shape,
+                          extras.mean_cam, bn_fold=True)
+    with pytest.raises(ValueError, match='inference-only'):
+        folded.init({'params': jax.random.PRNGKey(0),
+                     'dropout': jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 64, 64, 3)), train=True)

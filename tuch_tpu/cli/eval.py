@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument('--synthetic_num_verts', type=int, default=0,
                    help='--synthetic body size override (0 = full)')
     p.add_argument('--synthetic_samples', type=int, default=16)
+    p.add_argument('--bn_fold', action='store_true',
+                   help='fold eval-mode BatchNorm into conv weights at '
+                        'model build (exact up to fp reassociation)')
     args = p.parse_args(argv)
 
     from tuch_tpu import config as cfg
@@ -46,6 +49,13 @@ def main(argv=None):
     if args.checkpoint:
         from tuch_tpu.train.checkpoint import load_variables
         variables = load_variables(args.checkpoint, variables)
+    hmr = runtime.hmr
+    if args.bn_fold:
+        # eval is inference-only: fold BatchNorm into the conv weights
+        # (exact up to fp reassociation, models/hmr.py:fold_batchnorm)
+        from tuch_tpu.models.hmr import fold_batchnorm
+        hmr = hmr.clone(bn_fold=True)
+        variables = fold_batchnorm(variables)
 
     if args.synthetic:
         import tempfile
@@ -90,7 +100,7 @@ def main(argv=None):
         mesh = pmesh.make_mesh(dp=args.mesh_dp, cp=1)
 
     result = run_evaluation(
-        runtime.hmr, variables, dataset, args.dataset, runtime.smpl,
+        hmr, variables, dataset, args.dataset, runtime.smpl,
         smpl_m, smpl_f, j_reg, batch_size=args.batch_size, cnc_arr=cnc,
         result_file=args.result_file, log_freq=args.log_freq, mesh=mesh,
         num_workers=args.num_workers, shuffle=args.shuffle)

@@ -71,7 +71,7 @@ class TuchPredictor:
 
     def __init__(self, checkpoint=None, synthetic=False, dtype='float32',
                  img_res=224, num_verts=None, max_batch=1,
-                 batch_wait_ms=2.0):
+                 batch_wait_ms=2.0, bn_fold=False):
         import jax
         import jax.numpy as jnp
 
@@ -94,6 +94,14 @@ class TuchPredictor:
             from tuch_tpu.train.checkpoint import load_variables
             variables = load_variables(checkpoint, variables)
         hmr, smpl = runtime.hmr, runtime.smpl
+        if bn_fold:
+            # serving-only graph surgery: eval-mode BatchNorm folds into
+            # the conv weights (exact up to fp reassociation,
+            # models/hmr.py:fold_batchnorm) -- applied AFTER checkpoint
+            # load so real BN statistics get folded
+            from tuch_tpu.models.hmr import fold_batchnorm
+            hmr = hmr.clone(bn_fold=True)
+            variables = fold_batchnorm(variables)
         self.num_verts = int(np.asarray(smpl.v_template).shape[0])
 
         @jax.jit
@@ -345,7 +353,8 @@ def build_server(args) -> ThreadingHTTPServer:
                                                 None),
                               max_batch=getattr(args, 'max_batch', 1),
                               batch_wait_ms=getattr(args, 'batch_wait_ms',
-                                                    2.0))
+                                                    2.0),
+                              bn_fold=getattr(args, 'bn_fold', False))
     predictor.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(predictor))
@@ -376,6 +385,10 @@ def main(argv=None):
     p.add_argument('--batch_wait_ms', type=float, default=2.0,
                    help='max time the batcher waits for more requests '
                         'after the first arrives')
+    p.add_argument('--bn_fold', action='store_true',
+                   help='fold eval-mode BatchNorm into conv weights at '
+                        'model build (exact up to fp reassociation; '
+                        'inference-only)')
     args = p.parse_args(argv)
 
     httpd = build_server(args)

@@ -22,33 +22,44 @@ NPOSE = 24 * 6
 
 
 class Bottleneck(nn.Module):
-    """ResNet v1 bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+    """ResNet v1 bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4).
+
+    ``bn_fold=True`` builds the inference-only folded form: biased convs
+    and NO BatchNorm modules (use :func:`fold_batchnorm` to convert a
+    trained variables tree). Eval-mode BN is an affine per channel, so
+    folding it into the conv kernel/bias is exact up to fp reassociation.
+    """
     features: int
     strides: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+        if self.bn_fold:
+            norm = lambda name: (lambda y: y)
+        else:
+            norm = lambda name: nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name)
+        bias = self.bn_fold
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(self.features, (1, 1), use_bias=bias, dtype=self.dtype,
                     name='conv1')(x)
         y = norm('bn1')(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding=((1, 1), (1, 1)), use_bias=False,
+                    padding=((1, 1), (1, 1)), use_bias=bias,
                     dtype=self.dtype, name='conv2')(y)
         y = norm('bn2')(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=bias,
                     dtype=self.dtype, name='conv3')(y)
         y = norm('bn3')(y)
         if self.downsample:
             residual = nn.Conv(self.features * 4, (1, 1),
-                               strides=(self.strides,) * 2, use_bias=False,
+                               strides=(self.strides,) * 2, use_bias=bias,
                                dtype=self.dtype, name='downsample_conv')(x)
             residual = norm('downsample_bn')(residual)
         return nn.relu(y + residual)
@@ -72,6 +83,7 @@ class StemS2D(nn.Module):
     converter, and export_torch are unaffected.
     """
     dtype: Any = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -79,10 +91,14 @@ class StemS2D(nn.Module):
         x = x.astype(self.dtype)  # promote like nn.Conv(dtype=...) does
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (7, 7, C, 64), jnp.float32)
+        bias = (self.param('bias', nn.initializers.zeros, (64,),
+                           jnp.float32).astype(self.dtype)
+                if self.use_bias else None)
         if H % 2 or W % 2:  # odd input: the plain conv (same param path)
-            return jax.lax.conv_general_dilated(
+            y = jax.lax.conv_general_dilated(
                 x, kernel.astype(self.dtype), (2, 2),
                 ((3, 3), (3, 3)), dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            return y if bias is None else y + bias
         # pad (3, 5) so windows stay 2-aligned and the array is even-sized;
         # the extra right/bottom zeros are never read by a kept output
         p = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
@@ -95,7 +111,8 @@ class StemS2D(nn.Module):
         y = jax.lax.conv_general_dilated(
             s, k4.astype(self.dtype), (1, 1), 'VALID',
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return y[:, :H // 2, :W // 2, :]
+        y = y[:, :H // 2, :W // 2, :]
+        return y if bias is None else y + bias
 
 
 class ResNet50(nn.Module):
@@ -103,17 +120,20 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stem_s2d: bool = False
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.stem_s2d:
-            x = StemS2D(dtype=self.dtype, name='conv1')(x)
+            x = StemS2D(dtype=self.dtype, use_bias=self.bn_fold,
+                        name='conv1')(x)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2),
-                        padding=((3, 3), (3, 3)), use_bias=False,
+                        padding=((3, 3), (3, 3)), use_bias=self.bn_fold,
                         dtype=self.dtype, name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
+        if not self.bn_fold:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (size, feat) in enumerate(
@@ -121,7 +141,7 @@ class ResNet50(nn.Module):
             for j in range(size):
                 strides = 2 if (i > 0 and j == 0) else 1
                 x = Bottleneck(feat, strides=strides, downsample=(j == 0),
-                               dtype=self.dtype,
+                               dtype=self.dtype, bn_fold=self.bn_fold,
                                name=f'layer{i + 1}_{j}')(x, train=train)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
 
@@ -139,13 +159,18 @@ class HMR(nn.Module):
     n_iter: int = 3
     dtype: Any = jnp.float32
     stem_s2d: bool = False
+    bn_fold: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False,
                  init_pose=None, init_shape=None, init_cam=None):
+        if self.bn_fold and train:
+            raise ValueError('bn_fold is an inference-only transform: '
+                             'folded models have no BatchNorm statistics '
+                             'to update')
         B = images.shape[0]
         xf = ResNet50(dtype=self.dtype, stem_s2d=self.stem_s2d,
-                      name='backbone')(
+                      bn_fold=self.bn_fold, name='backbone')(
             images.astype(self.dtype), train=train)
         xf = xf.astype(jnp.float32)
 
@@ -182,11 +207,62 @@ class HMR(nn.Module):
 
 
 def create_hmr(mean_pose6d, mean_shape, mean_cam, n_iter: int = 3,
-               dtype=jnp.float32, stem_s2d: bool = False) -> HMR:
+               dtype=jnp.float32, stem_s2d: bool = False,
+               bn_fold: bool = False) -> HMR:
     return HMR(mean_pose6d=np.asarray(mean_pose6d, np.float32),
                mean_shape=np.asarray(mean_shape, np.float32),
                mean_cam=np.asarray(mean_cam, np.float32),
-               n_iter=n_iter, dtype=dtype, stem_s2d=stem_s2d)
+               n_iter=n_iter, dtype=dtype, stem_s2d=stem_s2d,
+               bn_fold=bn_fold)
+
+
+def fold_batchnorm(variables, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm into the preceding convolutions.
+
+    Input: the variables tree of a stock HMR ({'params', 'batch_stats'}).
+    Output: variables for ``create_hmr(..., bn_fold=True)`` -- every
+    (conv, bn) pair becomes a biased conv with
+
+        kernel' = kernel * g / sqrt(var + eps)
+        bias'   = beta - mean * g / sqrt(var + eps)
+
+    and no batch_stats collection remains. This removes ~53 per-channel
+    affine ops from the serving graph (reference BN placement:
+    /root/reference/tuch/models/hmr.py:27-130). Exact in real arithmetic;
+    fp32 reassociation keeps outputs within ~1e-5
+    (tests/test_hmr.py::test_bn_fold_equivalence). The IEF head has no
+    normalization and passes through unchanged.
+    """
+    params = jax.tree_util.tree_map(np.asarray, dict(variables['params']))
+    stats = jax.tree_util.tree_map(np.asarray,
+                                   dict(variables['batch_stats']))
+    bb, bb_stats = params['backbone'], stats['backbone']
+
+    def fold(conv, bn_p, bn_s):
+        s = bn_p['scale'] / np.sqrt(bn_s['var'] + eps)
+        return {'kernel': (conv['kernel'] * s).astype(np.float32),
+                'bias': (bn_p['bias'] - bn_s['mean'] * s)
+                .astype(np.float32)}
+
+    folded_bb = {}
+    for name, sub in bb.items():
+        if name.startswith('bn'):
+            continue  # absorbed into conv1 below
+        if name == 'conv1':
+            folded_bb[name] = fold(sub, bb['bn1'], bb_stats['bn1'])
+        elif name.startswith('layer'):
+            blk_s = bb_stats[name]
+            folded_bb[name] = {
+                cn: fold(sub[cn], sub[bn], blk_s[bn])
+                for cn, bn in (('conv1', 'bn1'), ('conv2', 'bn2'),
+                               ('conv3', 'bn3'),
+                               ('downsample_conv', 'downsample_bn'))
+                if cn in sub}
+        else:  # pragma: no cover - backbone holds only conv/bn/layer*
+            folded_bb[name] = sub
+    new_params = {k: v for k, v in params.items() if k != 'backbone'}
+    new_params['backbone'] = folded_bb
+    return {'params': jax.tree_util.tree_map(jnp.asarray, new_params)}
 
 
 def init_hmr(model: HMR, rng, img_res: int = 224):
