@@ -42,11 +42,22 @@ def main(argv=None):
                    help='--synthetic body size override (0 = full)')
     p.add_argument('--merge', nargs='*', default=None,
                    help='merge shard files instead of fitting')
+    p.add_argument('--auto_shard', action='store_true',
+                   help='derive --sidx/--cbs from jax.process_index()/'
+                        'process_count() -- the multi-host replacement '
+                        'for hand-assigned cluster shards (reference '
+                        'tuch/eft/fitter.py:52-55). Call '
+                        'parallel.multihost.maybe_initialize_distributed '
+                        'first (env JAX_COORDINATOR_ADDRESS etc.)')
     args = p.parse_args(argv)
 
     from tuch_tpu import runtime as rt
     from tuch_tpu.data.dataset import TuchDataset, synthetic_db
     from tuch_tpu.fitting.eft import EFTFitter, merge_shards
+    from tuch_tpu.parallel.multihost import maybe_initialize_distributed
+
+    if args.auto_shard:
+        maybe_initialize_distributed()
 
     runtime = rt.build_runtime(
         args, synthetic=args.synthetic or None,
@@ -77,6 +88,13 @@ def main(argv=None):
             merge_shards(args.merge, ds.data,
                          f'{args.out_dir}/{dsname}_eft_train.pt')
             continue
+
+        if args.auto_shard:
+            import jax
+            args.sidx = jax.process_index()
+            # same ceil split as parallel.multihost.process_shard, spelled
+            # as the reference's (sidx, cbs) contract
+            args.cbs = -(-len(ds) // jax.process_count())
 
         fitter = EFTFitter(args, dsname, ds, runtime.hmr, variables,
                            runtime.smpl, runtime.assets.contact,

@@ -29,6 +29,16 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get('JAX_COORDINATOR_ADDRESS')
     if coordinator is None:
         return False
+    # Idempotent: library entry points (e.g. cli/fit_eft --auto_shard) call
+    # this defensively; a second jax.distributed.initialize would raise
+    # once the backend is live.
+    try:
+        if jax.distributed.is_initialized():
+            return True
+    except AttributeError:  # pragma: no cover - older jax
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, 'client', None) is not None:
+            return True
     kwargs = {'coordinator_address': coordinator}
     num_processes = num_processes or os.environ.get('JAX_NUM_PROCESSES')
     process_id = process_id if process_id is not None \
