@@ -10,6 +10,31 @@ import argparse
 
 import numpy as np
 
+# Paper accuracy context, (MPJPE, PA-MPJPE) in mm. PROVENANCE: model-memory
+# (BASELINE.md:32-47) -- recorded from memory of the SPIN/TUCH papers in a
+# zero-egress container and NEVER verified against arXiv 2104.03176 /
+# 1909.12828. Advisory display only; MUST NOT be used as a pass/fail gate
+# (the binding bar is +-1mm vs the reference implementation run with the
+# same checkpoint, /root/reference/eval.py:189-195).
+PAPER_TARGETS_MODEL_MEMORY = {
+    '3dpw': {'SPIN': (96.9, 59.2), 'TUCH': (85.0, 55.5)},
+    'mpi-inf-3dhp': {'SPIN': (105.2, 67.5), 'TUCH': (100.0, 65.0)},
+}
+
+
+def _print_paper_context(dataset: str, result: dict) -> None:
+    targets = PAPER_TARGETS_MODEL_MEMORY.get(dataset)
+    if not targets or 'mpjpe' not in result:
+        return
+    print('--- paper context [provenance: model-memory — UNVERIFIED, '
+          'advisory only, never a gate] ---')
+    for method, (mpjpe, pa) in targets.items():
+        print(f'  {method} ({dataset}): MPJPE ~{mpjpe:.1f}mm, '
+              f'PA-MPJPE ~{pa:.1f}mm (from model memory of the paper; '
+              're-check against arXiv before relying on it)')
+    print('  binding accuracy bar: ±1mm vs the reference implementation '
+          'with the same checkpoint (BASELINE.md)')
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -107,6 +132,8 @@ def main(argv=None):
     print('*** Final Results ***')
     for k, v in result.items():
         print(f'  {k}: {v:.3f}' if isinstance(v, float) else f'  {k}: {v}')
+    if not args.synthetic:
+        _print_paper_context(args.dataset, result)
 
 
 if __name__ == '__main__':
