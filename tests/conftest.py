@@ -30,6 +30,31 @@ import jax
 # overrides jax_platforms; undo that so tests run on the virtual CPU mesh.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+# Tests re-jit many small programs; persist even sub-second compiles so
+# repeat suite runs (the builder's inner loop) skip them entirely.
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        '--runslow', action='store_true', default=False,
+        help='also run tests marked @pytest.mark.slow (full tier)')
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest -q` runs the fast tier (<5 min target);
+    `pytest --runslow` (or `-m slow`, or TUCH_SLOW=1) adds the slow
+    integration tier (multi-device train/e2e/CLI runs, ~30 min on this
+    1-core host)."""
+    if (config.getoption('--runslow')
+            or os.environ.get('TUCH_SLOW') == '1'
+            or 'slow' in (config.getoption('-m') or '')):
+        return
+    skip = pytest.mark.skip(
+        reason='slow tier: pass --runslow (or TUCH_SLOW=1) to run')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope='session')

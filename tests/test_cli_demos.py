@@ -45,6 +45,7 @@ def test_demo_smplify_dc_cli_synthetic(tmp_path):
         assert (out / f'{i:04d}_opti.png').exists()
 
 
+@pytest.mark.slow
 def test_demo_smplify_dc_out_dir_override(tmp_path):
     from tuch_tpu.cli.demo_smplify_dc import main as demo_main
     override = tmp_path / 'renders'
@@ -141,6 +142,7 @@ def test_serve_cli_synthetic():
         httpd.server_close()
 
 
+@pytest.mark.slow
 def test_serve_predictor_bf16():
     """The --dtype bfloat16 serving path: predictor builds, warms, and
     returns finite fp32 outputs (backbone computes in bf16)."""
@@ -164,6 +166,7 @@ def test_serve_predictor_bf16():
     assert np.isfinite(np.asarray(out['cam_t'])).all()
 
 
+@pytest.mark.slow
 def test_serve_dynamic_batching():
     """Micro-batched serving: concurrent identical requests are grouped
     into one device forward, every response is correct and identical, and

@@ -163,6 +163,7 @@ def test_report_contact_subsets():
 # EFT
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_eft_fit_one_early_stop(tiny_smpl):
     from tuch_tpu.fitting.eft import make_eft_fit_fn
     from tuch_tpu.losses.eft import EFTWeights

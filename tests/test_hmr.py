@@ -1,6 +1,7 @@
 """HMR regressor tests: shapes, IEF behavior, train/eval modes."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_hmr_jit_grad():
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_hmr_bfloat16_compute():
     """bf16 backbone path produces finite, fp32-typed outputs."""
     import jax.numpy as jnp
@@ -102,6 +104,7 @@ def test_hmr_bfloat16_compute():
     assert np.isfinite(np.asarray(cam)).all()
 
 
+@pytest.mark.slow
 def test_stem_s2d_equivalence():
     """StemS2D (space-to-depth 7x7/s2 stem) matches nn.Conv: same param
     pytree, same outputs to fp32 reassociation tolerance, exact fallback
@@ -122,6 +125,7 @@ def test_stem_s2d_equivalence():
         np.testing.assert_allclose(y1, y0, atol=max(tol, 0.0), rtol=0)
 
 
+@pytest.mark.slow
 def test_stem_s2d_gradients_finite():
     """The S2D stem trains: gradients flow and are finite."""
     from tuch_tpu import assets

@@ -1,6 +1,7 @@
 """Tests for prior, smplify losses, and the regressor loss."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -213,6 +214,7 @@ def test_contact_loss_grad(tiny_smpl):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_hd_selection_any_face_vertex(tiny_smpl):
     """HD candidates are selected when ANY of the source face's 3 vertices
     is in contact/interior (reference loss.py:278-281) -- a representative-
@@ -256,6 +258,7 @@ def test_hd_selection_any_face_vertex(tiny_smpl):
     assert float(aux['hd_truncated_frac']) == 0.0
 
 
+@pytest.mark.slow
 def test_hd_truncation_metric(tiny_smpl):
     """hd_k smaller than the active candidate count must be reported."""
     model, extras = tiny_smpl
@@ -275,6 +278,7 @@ def test_hd_truncation_metric(tiny_smpl):
     assert float(aux_big['hd_truncated_frac']) == 0.0
 
 
+@pytest.mark.slow
 def test_contact_neighbors_candidate_k(tiny_smpl):
     """Opt-in candidate-set winding (candidate_k > 0).
 
@@ -407,6 +411,7 @@ def test_candidate_prev_exterior_sticky_and_priority(tiny_smpl):
     assert (~ext_s[0]).sum() <= (~prev[0]).sum()
 
 
+@pytest.mark.slow
 def test_regressor_contact_capacity_matches_full(tiny_smpl):
     """capacity >= #valid reproduces the full loss exactly (the loss is a
     mean over valid samples; reference loss.py:247 skips invalid ones),

@@ -76,6 +76,7 @@ def _tiny_contact_problem(B=4, num_verts=110, seed=0):
     return model, extras, ca, verts
 
 
+@pytest.mark.slow
 def test_contact_neighbors_cp_matches_single_device(mesh8):
     from tuch_tpu.losses.smplify import contact_neighbors
     from tuch_tpu.parallel.contact_parallel import TRACE_STATS
@@ -89,6 +90,7 @@ def test_contact_neighbors_cp_matches_single_device(mesh8):
     np.testing.assert_array_equal(np.asarray(arg_cp), np.asarray(arg_ref))
 
 
+@pytest.mark.slow
 def test_contact_fitting_loss_cp_matches_single_device(mesh8):
     """Full in-loop contact loss, cp-sharded vs single-device."""
     from tuch_tpu import assets as assets_mod
@@ -133,6 +135,7 @@ def test_maybe_initialize_distributed_noop(monkeypatch):
     assert maybe_initialize_distributed() is False
 
 
+@pytest.mark.slow
 def test_contact_neighbors_cp_candidate_k(mesh8):
     """candidate_k on a cp>1 mesh: flags/argmin match the single-device
     candidate path (the knob must not be silently ignored when sharded)."""
@@ -146,6 +149,7 @@ def test_contact_neighbors_cp_candidate_k(mesh8):
     np.testing.assert_array_equal(np.asarray(arg_cp), np.asarray(arg_ref))
 
 
+@pytest.mark.slow
 def test_eval_step_dp_sharded_matches_single_device():
     """dp-sharded eval step == single-device eval step (SURVEY 2.8: the
     TPU-native multi-device eval the reference lacks)."""
@@ -180,6 +184,7 @@ def test_eval_step_dp_sharded_matches_single_device():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_run_evaluation_dp_sharded(tmp_path):
     """run_evaluation(mesh=...) end-to-end on a synthetic dataset,
     including a ragged tail batch that falls back to single-device."""
@@ -210,6 +215,7 @@ def test_run_evaluation_dp_sharded(tmp_path):
     assert abs(res_dp['pa_mpjpe'] - res_ref['pa_mpjpe']) < 1e-3
 
 
+@pytest.mark.slow
 def test_contact_fitting_loss_compacted_cp_matches_full(mesh8):
     """Compaction composes with the cp-sharded kernels: gathering the
     contact-active sub-batch, running the sharded quadratics on (C, V),

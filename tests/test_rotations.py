@@ -103,6 +103,7 @@ def test_flip_perm_is_permutation():
     assert sorted(perm24.tolist()) == list(range(24))
 
 
+@pytest.mark.slow
 def test_rotmat_to_aa_gradient_finite_at_identity():
     """The identity rotation is the worst case: sin(angle/2) == 0 exactly,
     where an unguarded norm has a NaN gradient that a downstream where()

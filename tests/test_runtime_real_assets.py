@@ -156,6 +156,7 @@ def test_red_ply_reader_roundtrip(asset_tree, tmp_path):
         np.testing.assert_array_equal(np.sort(got), np.sort(seg['vidx']))
 
 
+@pytest.mark.slow
 def test_parity_ref_dump_gate(asset_tree, tmp_path):
     """End-to-end level-1 parity gate: a parity.npz in the schema of
     tools/parity_dump.py, produced here by the reference's functional

@@ -1,6 +1,7 @@
 """SMPLify-DC convergence tests on crafted poses (SURVEY.md section 4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -133,6 +134,7 @@ def test_smplify_exterior_refresh_gt1_converges(tiny_smpl, rng):
     assert d < 0.05, f'refresh-K fit diverged from K=1 fit: {d}'
 
 
+@pytest.mark.slow
 def test_smplify_contact_compaction_matches_full(tiny_smpl, rng):
     """capacity >= #active must reproduce the full-batch fit: the contact
     terms are computed on the gathered sub-batch and scattered back, so
@@ -226,6 +228,7 @@ def test_smplify_compaction_with_candidate_k(tiny_smpl, rng):
                                np.asarray(full.pose), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_candidate_k_fold_blind_spot_and_sticky_recovery(tiny_smpl):
     """Pins the documented candidate_k limitation (losses/smplify.py
     contact_neighbors docstring) adversarially: a crumpled pose creates

@@ -77,6 +77,7 @@ def test_full_hmr_parity_224(parity_setup):
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_parity_cli_network_mode(tmp_path):
     """python -m tuch_tpu.cli.parity --checkpoint x.pt: one-command gate."""
     sd = fake_torch_state_dict()

@@ -22,6 +22,7 @@ from tuch_tpu.utils.rotations import batch_rodrigues
 # Fits store
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_fits_lookup_update_roundtrip(rng):
     """get/set round-trip under flip+rotation (fits_dict involution)."""
     N, B = 20, 6
@@ -208,6 +209,7 @@ def run_steps(runtime, tmp_path, n=2, **opt_kw):
     return state, out
 
 
+@pytest.mark.slow
 def test_train_step_no_smplify(tiny_runtime, tmp_path):
     state, out = run_steps(tiny_runtime, tmp_path, n=2,
                            run_smplify=False, contact_loss_weight=0.0)
@@ -239,6 +241,7 @@ def test_train_step_with_smplify_updates_fits(tiny_runtime, tmp_path):
     assert np.abs(fits[:2]).sum() > 0
 
 
+@pytest.mark.slow
 def test_train_step_jit_cache(tiny_runtime, tmp_path):
     """Second call with fresh arrays must not retrace (static closure)."""
     import optax
@@ -261,6 +264,7 @@ def test_train_step_jit_cache(tiny_runtime, tmp_path):
     assert step._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_train_step_degenerate_batch_finite(tiny_runtime, tmp_path):
     """All capability flags zero + zero keypoint confidences: no loss term
     has valid data, yet loss and gradients must stay finite (the
@@ -292,6 +296,7 @@ def test_train_step_degenerate_batch_finite(tiny_runtime, tmp_path):
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
 
 
+@pytest.mark.slow
 def test_accept_reject_rejects_nonfinite_fit(tiny_runtime, tmp_path):
     """A diverged (NaN) smplify result must never be written into the
     fits store: NaN loss compares False against the previous loss, so
@@ -464,6 +469,7 @@ def test_augmentation_distribution_matches_reference(synth_data, tmp_path):
     assert abs(pns.mean() - 1.0) < 0.02
 
 
+@pytest.mark.slow
 def test_train_step_smplify_contact_capacity(tiny_runtime, tmp_path):
     """smplify_contact_capacity routes the in-loop contact terms through
     the fixed-capacity compaction and surfaces the truncation metric."""
@@ -492,6 +498,7 @@ def test_loader_pads_when_batch_exceeds_dataset(synth_data, tmp_path):
     assert batches[0]['img'].shape[0] == 3 * n - 1
 
 
+@pytest.mark.slow
 def test_project_db_keypoints_consistent(tiny_runtime):
     """Projected synthetic keypoints must be explained by their own GT
     pose: the GT body + lstsq camera reprojects tightly, a perturbed pose

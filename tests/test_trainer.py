@@ -52,6 +52,7 @@ def test_trainer_fit_checkpoint_resume(tmp_path):
     assert int(np.asarray(tr2.state.step)) == steps
 
 
+@pytest.mark.slow
 def test_static_fits_seeding(tmp_path):
     """{ds}_fits.npy in static_fits_dir lands in TrainState.fits; checkpoint
     fits take priority over static (reference fits_dict.py:38-51)."""
@@ -114,6 +115,7 @@ def test_train_cli_end_to_end_synthetic(tmp_path):
     assert any(not c.endswith('.meta.json') for c in ckpts)
 
 
+@pytest.mark.slow
 def test_trainer_with_device_mesh(tmp_path):
     """Trainer end-to-end with a ('dp', 'cp') mesh: batches sharded via
     shard_batch, contact routed cp-sharded, pipelined logging intact."""
@@ -166,6 +168,7 @@ def test_checkpoint_ordering_same_second(tmp_path):
     assert mgr.latest().endswith('_step12_1.00')
 
 
+@pytest.mark.slow
 def test_time_budget_exit_checkpoints_midepoch(tmp_path):
     """A --time_to_run exit mid-epoch persists the exact loader position
     (the reference's flag was dead code, trainer.py:47), so --resume
@@ -203,6 +206,7 @@ def test_time_budget_exit_checkpoints_midepoch(tmp_path):
     assert int(np.asarray(tr2.state.step)) == 4
 
 
+@pytest.mark.slow
 def test_sigterm_graceful_preemption(tmp_path):
     """SIGTERM during fit() finishes the in-flight step, checkpoints the
     exact position, and returns -- the preemption-safe exit path."""
@@ -263,6 +267,7 @@ def test_sigterm_graceful_preemption(tmp_path):
     assert tr.loader_state.epoch == 0 and tr.loader_state.batch_idx == 2
 
 
+@pytest.mark.slow
 def test_resume_under_different_seed_keeps_perm_seed(tmp_path):
     """Checkpoints must re-save the LOADER's permutation seed, not the
     current --seed: a second mid-epoch resume would otherwise regenerate
@@ -302,6 +307,7 @@ def test_resume_under_different_seed_keeps_perm_seed(tmp_path):
                                     'perm_seed': 1}
 
 
+@pytest.mark.slow
 def test_restore_falls_back_past_corrupt_checkpoint(tmp_path):
     """A checkpoint truncated by a crash mid-save must not brick resume:
     restore() walks back to the newest intact one."""
