@@ -892,11 +892,21 @@ def main():
         if remaining() < min_s:
             note_skip(label, 'wall-clock budget exhausted')
             return None
+        eff_timeout = min(timeout_s, remaining())
         out, err2, fault2 = _run_stage_subprocess(
-            argv, timeout=min(timeout_s, remaining()), env_extra=env)
+            argv, timeout=eff_timeout, env_extra=env)
         if out is not None:
             extra.update(out)
             return out
+        if (fault2 and err2 and err2.startswith('<timeout')
+                and eff_timeout < timeout_s - 1):
+            # The stage timed out at a BUDGET-clamped timeout, not its
+            # own: that is budget exhaustion, not device-side trouble
+            # (r04 run 1: arm_bare at a 401 s clamp tripped the fault
+            # breaker and was miscounted against the zero-fault bar).
+            note_skip(label, f'budget exhausted mid-stage '
+                             f'(clamped to {eff_timeout:.0f}s)')
+            return None
         extra[f'{label}_error'] = err2
         if fault2 and tpu:
             on_fault(label, err2)
@@ -918,11 +928,16 @@ def main():
             if remaining() < 90:
                 arm_t[arm] = '<skipped: wall-clock budget exhausted>'
                 continue
+            arm_timeout = min(600, remaining())
             out, err2, fault2 = _run_stage_subprocess(
-                ['--train-arm', arm, *common],
-                timeout=min(600, remaining()))
+                ['--train-arm', arm, *common], timeout=arm_timeout)
             if out is not None and 'seconds' in out:
                 arm_t[arm] = float(out['seconds'])
+            elif (fault2 and err2 and err2.startswith('<timeout')
+                    and arm_timeout < 599):
+                # budget-clamped timeout: a skip, not a device fault
+                arm_t[arm] = (f'<skipped: budget exhausted mid-arm '
+                              f'(clamped to {arm_timeout:.0f}s)>')
             else:
                 arm_t[arm] = err2 or '<failed>'
                 print(f'bench train arm {arm} failed: {arm_t[arm]}',
