@@ -704,7 +704,12 @@ def _run_stage_subprocess(extra_argv, timeout, env_extra=None):
     except subprocess.TimeoutExpired:
         return None, f'<timeout after {timeout:.0f}s>', True
     stderr = proc.stderr or ''
+    # 'ABORTED: TPU backend error' is the tunnel's other unhealthy-device
+    # spelling (r04 run 5: arm mixed_compact ABORTED, was NOT counted as a
+    # fault, so no backend probe ran and the next arm marched into the
+    # still-wedged backend and died too).
     fault = ('UNAVAILABLE' in stderr or 'TPU device error' in stderr
+             or 'TPU backend error' in stderr or 'ABORTED' in stderr
              or proc.returncode < 0)
     if proc.returncode != 0:
         return None, (f'<rc={proc.returncode}: '
@@ -895,6 +900,21 @@ def main():
         eff_timeout = min(timeout_s, remaining())
         out, err2, fault2 = _run_stage_subprocess(
             argv, timeout=eff_timeout, env_extra=env)
+        if (out is None and fault2 and tpu
+                and not (err2 and err2.startswith('<timeout')
+                         and eff_timeout < timeout_s - 1)):
+            # One probe-then-retry: r04 run 5 showed these faults can be
+            # transient tunnel trouble (the same arm reran clean minutes
+            # later in isolation); a single retry turns a would-be
+            # permanent *_error into a clean number + a transient note.
+            print(f'stage {label} faulted; probing backend and retrying '
+                  f'once: {err2}', file=sys.stderr)
+            if (wait_for_backend(min(150, max(0, remaining())))
+                    and remaining() >= min_s):
+                extra.setdefault('transient_faults', {})[label] = err2
+                eff_timeout = min(timeout_s, remaining())
+                out, err2, fault2 = _run_stage_subprocess(
+                    argv, timeout=eff_timeout, env_extra=env)
         if out is not None:
             extra.update(out)
             return out
@@ -931,6 +951,20 @@ def main():
             arm_timeout = min(600, remaining())
             out, err2, fault2 = _run_stage_subprocess(
                 ['--train-arm', arm, *common], timeout=arm_timeout)
+            if (out is None and fault2
+                    and not (err2 and err2.startswith('<timeout')
+                             and arm_timeout < 599)):
+                # same probe-then-retry as stage() (r04 run 5 lesson)
+                print(f'arm {arm} faulted; probing backend and retrying '
+                      f'once: {err2}', file=sys.stderr)
+                if (wait_for_backend(min(150, max(0, remaining())))
+                        and remaining() >= 90):
+                    extra.setdefault('transient_faults',
+                                     {})[f'arm_{arm}'] = err2
+                    arm_timeout = min(600, remaining())
+                    out, err2, fault2 = _run_stage_subprocess(
+                        ['--train-arm', arm, *common],
+                        timeout=arm_timeout)
             if out is not None and 'seconds' in out:
                 arm_t[arm] = float(out['seconds'])
             elif (fault2 and err2 and err2.startswith('<timeout')
