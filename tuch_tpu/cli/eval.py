@@ -59,6 +59,9 @@ def main(argv=None):
     p.add_argument('--bn_fold', action='store_true',
                    help='fold eval-mode BatchNorm into conv weights at '
                         'model build (exact up to fp reassociation)')
+    p.add_argument('--backbone', default='resnet50',
+                   help='regressor backbone: resnet50 (reference) or a '
+                        'models/vit.py config name (vit_s16, ...)')
     args = p.parse_args(argv)
 
     from tuch_tpu import config as cfg
@@ -66,10 +69,12 @@ def main(argv=None):
     from tuch_tpu.data.dataset import TuchDataset, synthetic_db
     from tuch_tpu.eval.evaluate import run_evaluation
 
-    runtime = rt.build_runtime(synthetic=args.synthetic or None,
-                               num_verts=args.synthetic_num_verts or None,
-                               with_segments=False, with_hd=False,
-                               with_contact=False)
+    from types import SimpleNamespace
+    runtime = rt.build_runtime(
+        options=SimpleNamespace(backbone=args.backbone),
+        synthetic=args.synthetic or None,
+        num_verts=args.synthetic_num_verts or None,
+        with_segments=False, with_hd=False, with_contact=False)
     variables = runtime.variables
     if args.checkpoint:
         from tuch_tpu.train.checkpoint import load_variables

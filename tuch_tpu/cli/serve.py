@@ -71,7 +71,7 @@ class TuchPredictor:
 
     def __init__(self, checkpoint=None, synthetic=False, dtype='float32',
                  img_res=224, num_verts=None, max_batch=1,
-                 batch_wait_ms=2.0, bn_fold=False):
+                 batch_wait_ms=2.0, bn_fold=False, backbone='resnet50'):
         import jax
         import jax.numpy as jnp
 
@@ -85,7 +85,8 @@ class TuchPredictor:
         self.img_res = img_res
         self.jnp = jnp
         runtime = rt.build_runtime(
-            options=SimpleNamespace(compute_dtype=dtype, synthetic=False),
+            options=SimpleNamespace(compute_dtype=dtype, synthetic=False,
+                                    backbone=backbone),
             synthetic=synthetic or None, num_verts=num_verts,
             with_segments=False, with_hd=False, with_contact=False,
             img_res=img_res)
@@ -354,7 +355,9 @@ def build_server(args) -> ThreadingHTTPServer:
                               max_batch=getattr(args, 'max_batch', 1),
                               batch_wait_ms=getattr(args, 'batch_wait_ms',
                                                     2.0),
-                              bn_fold=getattr(args, 'bn_fold', False))
+                              bn_fold=getattr(args, 'bn_fold', False),
+                              backbone=getattr(args, 'backbone',
+                                               'resnet50'))
     predictor.warmup()
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(predictor))
@@ -389,6 +392,11 @@ def main(argv=None):
                    help='fold eval-mode BatchNorm into conv weights at '
                         'model build (exact up to fp reassociation; '
                         'inference-only)')
+    p.add_argument('--backbone', default='resnet50',
+                   help='regressor backbone: resnet50 (reference) or a '
+                        'models/vit.py config name (vit_s16, ...); ViT '
+                        'is random-weights unless a matching checkpoint '
+                        'is supplied')
     args = p.parse_args(argv)
 
     httpd = build_server(args)

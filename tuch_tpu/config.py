@@ -189,6 +189,11 @@ class TrainConfig:
     # Space-to-depth form of the 7x7/s2 stem conv (models/hmr.py StemS2D):
     # exact math, same checkpoint layout; a throughput knob for the MXU
     stem_s2d: bool = False
+    # Regressor backbone: 'resnet50' (the reference architecture,
+    # tuch/models/hmr.py:27-130) or a models/vit.py config ('vit_s16',
+    # 'vit_b16', 'vit_t8') -- an opt-in matmul-shaped MXU extension;
+    # random-weights only (no reference checkpoint exists to convert)
+    backbone: str = 'resnet50'
     seed: int = 0
 
     # Derived (filled by finalize()):

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tuch_tpu.models import vit as vit_mod
 from tuch_tpu.utils.rotations import rot6d_to_rotmat
 
 NPOSE = 24 * 6
@@ -160,6 +161,10 @@ class HMR(nn.Module):
     dtype: Any = jnp.float32
     stem_s2d: bool = False
     bn_fold: bool = False
+    # 'resnet50' (the reference architecture) or a tuch_tpu.models.vit
+    # config name ('vit_s16', ...) -- an opt-in MXU-oriented extension;
+    # the IEF head infers the feature width, so both plug in unchanged.
+    backbone: str = 'resnet50'
 
     @nn.compact
     def __call__(self, images, train: bool = False,
@@ -169,9 +174,24 @@ class HMR(nn.Module):
                              'folded models have no BatchNorm statistics '
                              'to update')
         B = images.shape[0]
-        xf = ResNet50(dtype=self.dtype, stem_s2d=self.stem_s2d,
-                      bn_fold=self.bn_fold, name='backbone')(
-            images.astype(self.dtype), train=train)
+        if self.backbone == 'resnet50':
+            xf = ResNet50(dtype=self.dtype, stem_s2d=self.stem_s2d,
+                          bn_fold=self.bn_fold, name='backbone')(
+                images.astype(self.dtype), train=train)
+        elif self.backbone in vit_mod.VIT_CONFIGS:
+            if self.stem_s2d or self.bn_fold:
+                raise ValueError(
+                    'stem_s2d / bn_fold are ResNet-specific transforms '
+                    f'(backbone={self.backbone!r} has no 7x7 stem and no '
+                    'BatchNorm)')
+            w, d, h, p = vit_mod.VIT_CONFIGS[self.backbone]
+            xf = vit_mod.ViT(width=w, depth=d, heads=h, patch=p,
+                             dtype=self.dtype, name='backbone')(
+                images.astype(self.dtype), train=train)
+        else:
+            raise ValueError(
+                f'unknown backbone {self.backbone!r}; have resnet50, '
+                f'{sorted(vit_mod.VIT_CONFIGS)}')
         xf = xf.astype(jnp.float32)
 
         pred_pose = (jnp.broadcast_to(jnp.asarray(self.mean_pose6d), (B, NPOSE))
@@ -208,12 +228,12 @@ class HMR(nn.Module):
 
 def create_hmr(mean_pose6d, mean_shape, mean_cam, n_iter: int = 3,
                dtype=jnp.float32, stem_s2d: bool = False,
-               bn_fold: bool = False) -> HMR:
+               bn_fold: bool = False, backbone: str = 'resnet50') -> HMR:
     return HMR(mean_pose6d=np.asarray(mean_pose6d, np.float32),
                mean_shape=np.asarray(mean_shape, np.float32),
                mean_cam=np.asarray(mean_cam, np.float32),
                n_iter=n_iter, dtype=dtype, stem_s2d=stem_s2d,
-               bn_fold=bn_fold)
+               bn_fold=bn_fold, backbone=backbone)
 
 
 def fold_batchnorm(variables, eps: float = 1e-5):

@@ -57,15 +57,20 @@ def shard_params_tp(params, mesh: Mesh):
     decoders) is replicated -- the backbone is activation-dominated, so dp
     is its natural axis (SURVEY.md section 2.8: model is ~27M params; TP is
     exposure, not necessity).
+
+    The ViT backbone (models/vit.py) reuses the same split-then-consume
+    column layout: per block, qkv splits heads over 'cp' and the attention
+    output projection consumes the split (Megatron-style attention TP);
+    the MLP's fc1/fc2 match the IEF head's rule by name.
     """
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', getattr(p, 'name', '')) for p in path]
         path_s = '/'.join(str(k) for k in keys)
         if leaf.ndim == 2:
-            if 'fc1/kernel' in path_s:
-                return P(None, 'cp')     # split hidden dim
-            if 'fc2/kernel' in path_s:
+            if 'fc1/kernel' in path_s or 'qkv/kernel' in path_s:
+                return P(None, 'cp')     # split hidden dim / heads
+            if 'fc2/kernel' in path_s or 'proj/kernel' in path_s:
                 return P('cp', None)     # consume split hidden dim
         return P()
 

@@ -148,8 +148,10 @@ def build_runtime(options=None, synthetic: Optional[bool] = None,
         options, 'compute_dtype', 'float32') == 'bfloat16') else jnp.float32
     stem_s2d = bool(options is not None
                     and getattr(options, 'stem_s2d', False))
+    backbone = (getattr(options, 'backbone', 'resnet50')
+                if options is not None else 'resnet50')
     hmr = hmr_mod.create_hmr(mean_pose6d, mean_shape, mean_cam, dtype=dtype,
-                             stem_s2d=stem_s2d)
+                             stem_s2d=stem_s2d, backbone=backbone)
     variables = hmr_mod.init_hmr(hmr, jax.random.PRNGKey(init_rng),
                                  img_res=img_res)
     tuch_assets = TuchAssets(smpl=smpl, prior=prior, contact=contact_assets,

@@ -265,7 +265,8 @@ def make_train_step(hmr_model, assets: TuchAssets, options,
 
             aux = dict(
                 loss_dict={**loss_dict, **smplify_metrics},
-                batch_stats=new_model_state['batch_stats'],
+                # BN-free backbones (ViT) mutate no batch_stats collection
+                batch_stats=new_model_state.get('batch_stats', {}),
                 fits=new_fits,
                 outputs=dict(
                     pred_vertices=jax.lax.stop_gradient(pred_out.vertices),
