@@ -317,7 +317,7 @@ V5E_BF16_PEAK_FLOPS = 1.97e14     # TPU v5e (lite) chip peak, bf16 MXU
 
 def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
                                with_outputs=False, stem_s2d=False,
-                               bn_fold=False):
+                               bn_fold=False, backbone='resnet50'):
     """TUCH inference throughput (BASELINE.md: imgs/sec/chip).
 
     A single forward at B=64 takes ~1-10 ms on chip, so one dispatch per
@@ -338,14 +338,18 @@ def hmr_inference_imgs_per_sec(batch=64, dtype='float32', n_steps=20,
     runtime = rt.build_runtime(synthetic=True, img_res=224,
                                with_segments=False, with_hd=False)
     hmr = runtime.hmr
-    if dtype == 'bfloat16' or stem_s2d or bn_fold:
+    if dtype == 'bfloat16' or stem_s2d or bn_fold or backbone != 'resnet50':
         from tuch_tpu.models import hmr as hmr_mod
         hmr = hmr_mod.create_hmr(
             runtime.extras.mean_pose6d, runtime.extras.mean_shape,
             runtime.extras.mean_cam,
             dtype=jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32,
-            stem_s2d=stem_s2d, bn_fold=bn_fold)
+            stem_s2d=stem_s2d, bn_fold=bn_fold, backbone=backbone)
     variables = runtime.variables
+    if backbone != 'resnet50':
+        from tuch_tpu.models import hmr as hmr_mod
+        variables = hmr_mod.init_hmr(hmr, jax.random.PRNGKey(0),
+                                     img_res=64)
     if bn_fold:
         from tuch_tpu.models import hmr as hmr_mod
         variables = hmr_mod.fold_batchnorm(variables)
@@ -669,6 +673,18 @@ def run_stage_inprocess(name, B, iters, nv, baseline_samples,
                     round(r256, 2),
                 'hmr_backbone_mfu_bf16_b256_bnfold':
                     round(backbone_mfu(r256), 4)}
+    if name == 'hmr_vit':
+        # opt-in ViT backbone (models/vit.py): the measured answer to the
+        # ~23% conv-stack MFU ceiling -- transformer blocks are
+        # matmul-shaped. MFU uses the ViT's OWN analytic FLOPs, not the
+        # ResNet constant.
+        from tuch_tpu.models.vit import vit_fwd_flops
+        r = hmr_inference_imgs_per_sec(batch=256, dtype='bfloat16',
+                                       n_steps=10, backbone='vit_s16')
+        mfu = r * vit_fwd_flops('vit_s16', 224) / V5E_BF16_PEAK_FLOPS
+        return {'hmr_smpl_inference_imgs_per_sec_bf16_b256_vit_s16':
+                    round(r, 2),
+                'hmr_backbone_mfu_bf16_b256_vit_s16': round(mfu, 4)}
     if name == 'hmr_lat1':
         r = hmr_inference_imgs_per_sec(batch=1, dtype='float32', n_steps=50)
         # serving latency: one image through HMR + SMPL, on-chip
@@ -990,6 +1006,7 @@ def main():
         stage('hmr_bf16_256', ['--stage', 'hmr_bf16_256', *common], 420)
         stage('hmr_bnfold', ['--stage', 'hmr_bnfold', *common], 420)
         stage('hmr_lat1', ['--stage', 'hmr_lat1', *common], 420)
+        stage('hmr_vit', ['--stage', 'hmr_vit', *common], 420)
 
         host_rate = extra.get('input_pipeline_imgs_per_sec_1thread')
         chip_rate = (extra.get('train_step_breakdown') or {}).get(

@@ -8,6 +8,10 @@ Questions this answers on the real chip, in one single-client process:
      what speed vs bf16?  (v5e int8 peak is 2x bf16.)  Measured on the
      three conv shapes that dominate ResNet-50 time.
   3. Does a bigger batch (512) move e2e MFU?
+  4. (r4, arm `vit`) What MFU does the opt-in ViT backbone
+     (models/vit.py) reach?  Transformer blocks are matmul-shaped, so
+     this is the measured answer to "can serving pass the ~23% conv
+     ceiling" (docs/PERFORMANCE.md "MFU headroom probes").
 
 Usage: python tools/mfu_experiments.py [--skip int8] > out.json
 Prints one JSON object. Methodology: chained lax.scan with carry
@@ -174,6 +178,41 @@ def main():
         res['backbone_b512_ms'] = round(1e3 * t, 3)
         res['backbone_b512_mfu'] = round(512 * 4.09e9 / t / 1.97e14, 4)
         print(json.dumps(res), file=sys.stderr, flush=True)
+
+    if 'vit' not in args.skip:
+        from tuch_tpu.models import vit as vit_mod
+        for name in ('vit_s16', 'vit_b16'):
+            vit = vit_mod.create_vit(name, dtype=jnp.bfloat16)
+            vparams = vit.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 224, 224, 3)))
+            width = vit_mod.VIT_CONFIGS[name][0]
+            t = timed_scan(
+                lambda x, v=vit, p=vparams: v.apply(p, x, train=False),
+                imgs, jnp.zeros((B, width)), n=10)
+            flops = vit_mod.vit_fwd_flops(name, img_res=224)
+            res[f'{name}_backbone_ms'] = round(1e3 * t, 3)
+            res[f'{name}_backbone_mfu'] = round(
+                B * flops / t / 1.97e14, 4)
+            # e2e: full HMR (ViT backbone + IEF head) + SMPL, the same
+            # boundary as `e2e_mfu_bench_defn` above.
+            vhmr = hmr_mod.create_hmr(
+                runtime.extras.mean_pose6d, runtime.extras.mean_shape,
+                runtime.extras.mean_cam, dtype=jnp.bfloat16,
+                backbone=name)
+            vvars = hmr_mod.init_hmr(vhmr, jax.random.PRNGKey(0),
+                                     img_res=64)
+
+            def e2e_vit(x, m=vhmr, v=vvars):
+                rotmat, betas, cam = m.apply(v, x, train=False)
+                out = smpl_forward(smpl, betas, rotmat[:, 1:],
+                                   rotmat[:, :1], pose2rot=False)
+                return out.vertices.astype(jnp.float32)
+            nv = smpl.v_template.shape[0]
+            t_e2e = timed_scan(e2e_vit, imgs, jnp.zeros((B, nv, 3)), n=10)
+            res[f'{name}_e2e_ms'] = round(1e3 * t_e2e, 3)
+            res[f'{name}_e2e_mfu'] = round(
+                B * flops / t_e2e / 1.97e14, 4)
+            print(json.dumps(res), file=sys.stderr, flush=True)
 
     if 'int8' not in args.skip:
         int8_conv_ratio(res, min(B, 256))
