@@ -109,6 +109,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--skip', nargs='*', default=[])
     ap.add_argument('--batch', type=int, default=256)
+    ap.add_argument('--vit_configs', nargs='*',
+                    default=['vit_s16', 'vit_b16'],
+                    help='ViT variants for the vit arm (vit_b16 cold-'
+                         'compiles for >20 min through the tunnel; pass '
+                         'vit_s16 alone for a bounded run)')
     args = ap.parse_args()
 
     import jax
@@ -181,7 +186,7 @@ def main():
 
     if 'vit' not in args.skip:
         from tuch_tpu.models import vit as vit_mod
-        for name in ('vit_s16', 'vit_b16'):
+        for name in args.vit_configs:
             vit = vit_mod.create_vit(name, dtype=jnp.bfloat16)
             vparams = vit.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 224, 224, 3)))

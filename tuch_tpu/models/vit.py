@@ -33,7 +33,6 @@ TPU-first design decisions:
 from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,27 +70,26 @@ def sincos_posemb_2d(h: int, w: int, dim: int) -> jnp.ndarray:
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with a fused qkv projection."""
+    """Multi-head self-attention with a fused qkv projection.
+
+    The (B, N, 3C) qkv tensor is head-major within each third (column
+    ((i3*heads)+h)*hd + d) -- the layout ops/attention_pallas.py's fused
+    kernel block-indexes directly. On TPU the whole
+    logits -> fp32 softmax -> value contraction runs in one VMEM kernel
+    (no HBM logits tensor); elsewhere the identical-math jnp reference
+    runs. Both paths keep fp32 logits/softmax: bf16 logit accumulation
+    visibly degrades attention entropy.
+    """
     width: int
     heads: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        B, N, C = x.shape
-        hd = self.width // self.heads
+        from tuch_tpu.ops.attention_pallas import fused_mha
         qkv = nn.Dense(3 * self.width, use_bias=True, dtype=self.dtype,
                        name='qkv')(x)
-        qkv = qkv.reshape(B, N, 3, self.heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # fp32 logits + softmax: bf16 logit accumulation visibly degrades
-        # attention entropy; the two einsums still run on the MXU.
-        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits.astype(jnp.float32) * (1.0 / np.sqrt(hd))
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhqk,bkhd->bqhd', probs, v)
-        out = out.reshape(B, N, self.width)
+        out = fused_mha(qkv, self.heads)
         return nn.Dense(self.width, dtype=self.dtype, name='proj')(out)
 
 
