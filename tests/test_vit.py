@@ -158,3 +158,37 @@ def test_vit_fwd_flops_sanity():
     assert V.vit_fwd_flops('vit_t8', img_res=32) == 2 * per_block + embed
     # S/16 at 224 is in the ballpark of the published ~9.2 GFLOPs
     assert 6e9 < V.vit_fwd_flops('vit_s16', img_res=224) < 12e9
+
+
+def test_vit_checkpoint_roundtrip(tmp_path):
+    """ViT + --checkpoint path (ADVICE r04 medium): load_variables must not
+    touch init_variables['batch_stats'] eagerly -- ViT inits with no
+    batch_stats collection, and checkpoints for BN-free backbones carry
+    none either."""
+    from flax import traverse_util
+    from tuch_tpu.train.checkpoint import load_variables
+
+    model = make_vit_hmr()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    assert 'batch_stats' not in variables
+
+    # save a params-only npz checkpoint (the .npz pytree format
+    # load_pretrained_params reads)
+    flat = traverse_util.flatten_dict({'params': variables['params']})
+    path = str(tmp_path / 'vit_ckpt.npz')
+    np.savez(path, **{'/'.join(k): np.asarray(v) for k, v in flat.items()})
+
+    loaded = load_variables(path, variables)  # must not KeyError
+    assert 'batch_stats' not in loaded
+    x = jnp.linspace(0, 1, 64 * 64 * 3).reshape(1, 64, 64, 3)
+    ref = model.apply(variables, x, train=False)
+    got = model.apply(loaded, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fold_batchnorm_clear_error_without_bn():
+    model = make_vit_hmr()
+    variables = H.init_hmr(model, jax.random.PRNGKey(0), img_res=64)
+    with pytest.raises(ValueError, match='ResNet-specific'):
+        H.fold_batchnorm(variables)

@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument('--backbone', default='resnet50',
                    help='regressor backbone: resnet50 (reference) or a '
                         'models/vit.py config name (vit_s16, ...)')
+    p.add_argument('--paper_context', action='store_true',
+                   help='print UNVERIFIED model-memory paper numbers as '
+                        'context (advisory only, never a gate)')
     args = p.parse_args(argv)
 
     from tuch_tpu import config as cfg
@@ -137,7 +140,9 @@ def main(argv=None):
     print('*** Final Results ***')
     for k, v in result.items():
         print(f'  {k}: {v:.3f}' if isinstance(v, float) else f'  {k}: {v}')
-    if not args.synthetic:
+    if args.paper_context and not args.synthetic:
+        # opt-in only (ADVICE r04): unverified model-memory numbers must
+        # never print by default where they could be copied as fact
         _print_paper_context(args.dataset, result)
 
 

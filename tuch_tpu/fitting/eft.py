@@ -138,7 +138,8 @@ class EFTFitter:
             s = self.dataset.get(idx)
             rng, sub = jax.random.split(rng)
             pose, b, steps, loss = self.fit_one(
-                self.variables['params'], self.variables['batch_stats'],
+                self.variables['params'],
+                self.variables.get('batch_stats', {}),
                 jnp.asarray(s['img'])[None],
                 jnp.asarray(s['keypoints'])[None],
                 jnp.asarray(s['contact_vec'])[None], sub)

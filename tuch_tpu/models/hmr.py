@@ -253,6 +253,11 @@ def fold_batchnorm(variables, eps: float = 1e-5):
     (tests/test_hmr.py::test_bn_fold_equivalence). The IEF head has no
     normalization and passes through unchanged.
     """
+    if 'batch_stats' not in variables:
+        raise ValueError(
+            'fold_batchnorm needs a batch_stats collection; this variables '
+            'tree has none (BN-free backbone, e.g. vit_*). --bn_fold is a '
+            'ResNet-specific serving transform.')
     params = jax.tree_util.tree_map(np.asarray, dict(variables['params']))
     stats = jax.tree_util.tree_map(np.asarray,
                                    dict(variables['batch_stats']))

@@ -58,10 +58,14 @@ def shard_params_tp(params, mesh: Mesh):
     is its natural axis (SURVEY.md section 2.8: model is ~27M params; TP is
     exposure, not necessity).
 
-    The ViT backbone (models/vit.py) reuses the same split-then-consume
-    column layout: per block, qkv splits heads over 'cp' and the attention
-    output projection consumes the split (Megatron-style attention TP);
-    the MLP's fc1/fc2 match the IEF head's rule by name.
+    The ViT backbone (models/vit.py) reuses the same column rules by
+    name: per block, the fused qkv kernel gets P(None, 'cp') and the
+    attention output projection gets P('cp', None). NOTE (ADVICE r04):
+    because qkv is fused as (in, 3C), a contiguous 'cp' split does NOT
+    align to q/k/v thirds or head groups -- this is a GSPMD
+    memory-sharding layout (weights distributed, results exact), not
+    Megatron-style head-aligned attention TP; GSPMD inserts the
+    collectives it needs at the fused_mha consumer.
     """
 
     def spec_for(path, leaf):

@@ -161,9 +161,15 @@ def load_variables(path: str, init_variables):
     The shared load-into-variables step every CLI performs: checkpoints
     may omit batch_stats (e.g. converted reference .pt files keep them in
     the state dict, ours always do) -- fall back to the freshly
-    initialized ones.
+    initialized ones. BN-free backbones (ViT) init with NO batch_stats
+    collection at all (tests/test_vit.py), so both lookups must be lazy
+    and an empty collection is omitted entirely (ADVICE r04: the eager
+    init_variables['batch_stats'] default crashed eval/serve --backbone
+    vit_* --checkpoint).
     """
     loaded = load_pretrained_params(path)
-    return {'params': loaded['params'],
-            'batch_stats': loaded.get('batch_stats',
-                                      init_variables['batch_stats'])}
+    stats = loaded.get('batch_stats', init_variables.get('batch_stats', {}))
+    out = {'params': loaded['params']}
+    if stats:
+        out['batch_stats'] = stats
+    return out
