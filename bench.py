@@ -18,11 +18,23 @@ Driver-proofing (r04): the orchestrator process never creates a JAX
 client -- every measurement runs in its own subprocess, strictly one at a
 time (the axon tunnel is single-client; r03's device faults hit exactly
 the in-process extras that shared the tunnel with subprocess arms). The
-headline JSON line is printed and flushed as soon as headline + baseline
-are measured; extras are budget-gated (TUCH_BENCH_BUDGET_S, default
-1200 s) and fault-gated (after two device faults no further TPU stages
-launch); a final enriched line is printed at the end. Killing the bench
-at ANY point after the headline still leaves a parseable tail line.
+headline JSON line is printed and flushed as soon as the headline is
+measured; extras are budget-gated (TUCH_BENCH_BUDGET_S, default 1200 s)
+and fault-gated (after two device faults no further TPU stages launch).
+Killing the bench at ANY point after the headline still leaves a
+parseable tail line.
+
+Budget discipline (r05, VERDICT r04 #1): the same-chip reference
+baseline is CACHED in docs/baseline_cache.json (re-measured only when
+the cache is absent, shape/device-stale, or TUCH_BENCH_REFRESH_BASELINE
+is set); the enriched result line is RE-EMITTED after every successful
+stage so the driver's tail-line parse always carries everything measured
+so far; and the stage order puts the three BASELINE.json metrics
+(smplify iters/s, inference imgs/s/chip, winding GFLOP/s) plus one full
+train-step arm ahead of all breadth stages. Fit quality at reference
+semantics is gated against committed bands (docs/fit_quality_gate.json;
+emits fit_quality_ok) so a speed regression disguised as a win turns
+the headline red.
 
 Usage:
   python bench.py             # full benchmark on the default device
@@ -611,9 +623,11 @@ def run_stage_inprocess(name, B, iters, nv, baseline_samples,
                         skip_baseline, quick=False):
     """Execute ONE measurement stage in THIS process; returns a dict."""
     if name == 'headline':
+        import jax
         problem = build_problem(B, nv, iters)
         ours, q = ours_iters_per_sec(problem, with_quality=True)
-        out = {'value': round(ours, 4), 'fit_quality_refresh1': q}
+        out = {'value': round(ours, 4), 'fit_quality_refresh1': q,
+               'device_kind': jax.devices()[0].device_kind}
         if not skip_baseline:
             b, lo, hi = baseline_iters_per_sec(
                 problem, max_samples=baseline_samples,
@@ -622,6 +636,58 @@ def run_stage_inprocess(name, B, iters, nv, baseline_samples,
                        b_hi=round(hi, 4),
                        baseline_samples=baseline_samples)
         return out
+    if name == 'baseline_ref':
+        # reference-structured same-chip baseline, measured in its own
+        # subprocess so the (cacheable) result never holds the headline
+        # hostage: VERDICT r04 #1 -- the baseline re-measure ate budget
+        # every run while two of three BASELINE.json metrics got skipped.
+        import jax
+        problem = build_problem(B, nv, iters)
+        b, lo, hi = baseline_iters_per_sec(
+            problem, max_samples=baseline_samples,
+            chain=2 if quick else 5)
+        return {'baseline': round(b, 4), 'b_lo': round(lo, 4),
+                'b_hi': round(hi, 4), 'baseline_samples': baseline_samples,
+                'device_kind': jax.devices()[0].device_kind}
+    if name == 'eft':
+        # EFT per-image fitter on chip (VERDICT r04 #7): the jitted
+        # while_loop fit (fitting/eft.py; reference hot loop
+        # /root/reference/tuch/eft/fitter.py:105-166). early_stop_loss=-1
+        # forces the full max_steps so steps/s is well-defined.
+        import jax
+        import jax.numpy as jnp
+        from tuch_tpu import runtime as rt
+        from tuch_tpu.fitting.eft import EFTWeights, make_eft_fit_fn
+        from tuch_tpu.utils.timing import fetch_sync
+        runtime = rt.build_runtime(synthetic=True, img_res=224)
+        steps = 5 if quick else 50
+        fit_one = make_eft_fit_fn(
+            runtime.hmr, runtime.smpl, runtime.assets.contact,
+            EFTWeights(keypoints=1.0, shape=1.0, contact=10.0),
+            max_steps=steps, early_stop_loss=-1.0, min_steps=0)
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.randn(1, 224, 224, 3).astype(np.float32)
+                          * 0.1)
+        kp = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.8, 0.8, (1, 49, 2)), np.ones((1, 49, 1))],
+            -1).astype(np.float32))
+        P = len(runtime.contact_classes)
+        contact = jnp.asarray((rng.rand(1, P) > 0.6).astype(np.float32))
+        args_ = (runtime.variables['params'],
+                 runtime.variables.get('batch_stats', {}), img, kp,
+                 contact, jax.random.PRNGKey(0))
+        out = fit_one(*args_)
+        fetch_sync(out)
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            out = fit_one(*args_)
+            fetch_sync(out)
+            best = min(best, time.time() - t0)
+        n_done = int(out[2])
+        return {'eft_steps_per_sec_per_image': round(n_done / best, 2),
+                'eft_fit_seconds_per_image_50steps': round(
+                    best * 50.0 / n_done, 3)}
     if name == 'knobs':
         problem = build_problem(B, nv, iters)
         cand_k = max(16, nv // 7)  # ~1024 at full topology
@@ -749,6 +815,10 @@ def main():
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--nv', type=int, default=6890)
     ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--refresh-baseline', action='store_true',
+                    help='re-measure the same-chip reference baseline '
+                         'even when docs/baseline_cache.json matches '
+                         '(also: TUCH_BENCH_REFRESH_BASELINE=1)')
     ap.add_argument('--baseline-samples', type=int, default=8)
     ap.add_argument('--stage', default=None,
                     help='internal: run ONE measurement stage in this '
@@ -841,22 +911,32 @@ def main():
         sys.exit(1)
 
     common = ['--batch', str(B), '--iters', str(iters), '--nv', str(nv)]
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    cache_path = os.path.join(bench_dir, 'docs', 'baseline_cache.json')
+    gate_path = os.path.join(bench_dir, 'docs', 'fit_quality_gate.json')
 
-    def headline_attempt(samples, timeout):
-        argv = ['--stage', 'headline', *common,
-                '--baseline-samples', str(samples)]
-        if args.skip_baseline:
-            argv.append('--skip-baseline')
-        return _run_stage_subprocess(argv, timeout=timeout)
+    def load_json(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return None
 
-    hd, err, fault = headline_attempt(
-        args.baseline_samples, timeout=max(120, min(1500, remaining())))
+    # The headline subprocess never measures the baseline in full mode
+    # (VERDICT r04 #1: the in-headline baseline re-measure ate budget
+    # every run); the baseline comes from the committed same-chip cache
+    # or, when stale/absent, its own 'baseline_ref' stage below.
+    def headline_attempt(timeout):
+        return _run_stage_subprocess(
+            ['--stage', 'headline', *common, '--skip-baseline'],
+            timeout=timeout)
+
+    hd, err, fault = headline_attempt(max(120, min(1200, remaining())))
     if hd is None and remaining() > 240:
         print(f'headline stage failed ({err}); waiting for backend and '
-              'retrying with a lighter baseline', file=sys.stderr)
+              'retrying', file=sys.stderr)
         wait_for_backend(min(120, remaining()))
-        hd, err, fault = headline_attempt(
-            4, timeout=max(120, min(900, remaining())))
+        hd, err, fault = headline_attempt(max(120, min(900, remaining())))
     if hd is None:
         print(json.dumps({
             'metric': metric, 'value': None, 'unit': 'iters/s',
@@ -865,10 +945,64 @@ def main():
         sys.exit(1)
 
     ours = hd['value']
+    device_kind = hd.get('device_kind')
     extra = {'batch': B, 'num_verts': nv,
-             'fit_quality_refresh1': hd.get('fit_quality_refresh1')}
-    if 'baseline' in hd:
-        baseline, b_lo, b_hi = hd['baseline'], hd['b_lo'], hd['b_hi']
+             'fit_quality_refresh1': hd.get('fit_quality_refresh1'),
+             'device_kind': device_kind}
+
+    # Fit-quality gate (VERDICT r04 #5): committed tolerance bands -- a
+    # "speedup" that degrades the reference-semantics fit turns the
+    # headline red instead of silently shipping.
+    gate = load_json(gate_path)
+    q = hd.get('fit_quality_refresh1') or {}
+    if gate and gate.get('bands'):
+        violations = {}
+        for key, (lo, hi) in gate['bands'].items():
+            v = q.get(key)
+            if v is None or not (lo <= v <= hi):
+                violations[key] = {'value': v, 'band': [lo, hi]}
+        extra['fit_quality_ok'] = not violations
+        extra['fit_quality_bands'] = gate['bands']
+        if violations:
+            extra['fit_quality_violations'] = violations
+            print(f'FIT QUALITY GATE VIOLATION: {violations}',
+                  file=sys.stderr)
+
+    bl, baseline_src = None, None
+    cache = load_json(cache_path)
+    refresh = (args.refresh_baseline
+               or os.environ.get('TUCH_BENCH_REFRESH_BASELINE') == '1')
+    if (cache and not refresh and not args.skip_baseline
+            and cache.get('batch') == B and cache.get('nv') == nv
+            and cache.get('iters') == iters
+            and cache.get('device_kind') == device_kind):
+        bl = cache
+        baseline_src = ('cached same-chip measurement '
+                        '(docs/baseline_cache.json, measured '
+                        f'{cache.get("measured_at", "?")}, device_kind '
+                        f'matched); refresh with '
+                        'TUCH_BENCH_REFRESH_BASELINE=1')
+    elif not args.skip_baseline:
+        out, err2, _ = _run_stage_subprocess(
+            ['--stage', 'baseline_ref', *common,
+             '--baseline-samples', str(args.baseline_samples)],
+            timeout=max(120, min(900, remaining())))
+        if out is not None:
+            bl = out
+            baseline_src = 'measured this run'
+            try:
+                rec = dict(out)
+                rec.update(batch=B, nv=nv, iters=iters,
+                           measured_at=time.strftime('%Y-%m-%d %H:%M'))
+                with open(cache_path, 'w') as f:
+                    json.dump(rec, f, indent=1)
+            except OSError:
+                pass
+        else:
+            extra['baseline_ref_error'] = err2
+
+    if bl is not None:
+        baseline, b_lo, b_hi = bl['baseline'], bl['b_lo'], bl['b_hi']
         vs = round(ours / baseline, 2)
         extra.update({
             'baseline_same_hw_iters_per_sec': baseline,
@@ -878,19 +1012,29 @@ def main():
             'baseline_note':
                 'reference-structured per-sample dense algorithm on the '
                 'same chip; trimmed mean over '
-                f'{hd.get("baseline_samples")} samples x pipelined '
+                f'{bl.get("baseline_samples")} samples x pipelined '
                 'chained steps (device-bound timing), extrapolated to '
-                f'the full batch of {B}; p10/p90 bounds attached'})
+                f'the full batch of {B}; p10/p90 bounds attached; '
+                f'{baseline_src}'})
     else:
         vs = None
-        extra['baseline_note'] = ('skipped (--skip-baseline); no '
-                                  'vs_baseline claim')
+        extra['baseline_note'] = (
+            'skipped (--skip-baseline); no vs_baseline claim'
+            if args.skip_baseline else
+            'baseline measurement failed; no vs_baseline claim')
 
     result = {'metric': metric, 'value': round(ours, 4),
               'unit': 'iters/s', 'vs_baseline': vs, 'extra': extra}
-    # EARLY EMIT: from here on, nothing can lose the headline -- worst
-    # case the driver parses this very line as the tail of stdout.
-    print(json.dumps(result), flush=True)
+
+    def emit():
+        # re-emitted after every successful stage: the driver parses the
+        # LAST parseable line, so a budget-kill at any point still hands
+        # it everything measured so far (r04 lost 2 of 3 BASELINE.json
+        # metrics to exactly this).
+        print(json.dumps(result), flush=True)
+
+    # EARLY EMIT: from here on, nothing can lose the headline.
+    emit()
 
     # ---- extras: fault- and budget-gated, most valuable first ----
     state = {'faults': 0, 'tpu_ok': True}
@@ -936,6 +1080,7 @@ def main():
                     argv, timeout=eff_timeout, env_extra=env)
         if out is not None:
             extra.update(out)
+            emit()
             return out
         if (fault2 and err2 and err2.startswith('<timeout')
                 and eff_timeout < timeout_s - 1):
@@ -951,62 +1096,86 @@ def main():
             on_fault(label, err2)
         return None
 
-    try:
-        stage('knobs', ['--stage', 'knobs', *common], 900)
-        stage('hmr_parity', ['--stage', 'hmr_parity', *common], 600)
-        stage('winding', ['--stage', 'winding', *common], 420)
-        stage('host', ['--stage', 'host', *common], 240, tpu=False,
-              env={'JAX_PLATFORMS': 'cpu'})
+    arm_t = {}
 
-        arm_t = {}
-        for arm in ('full', 'no_smplify', 'bare', 'mixed',
-                    'mixed_compact', 'mixed_fast', 'fast'):
-            if not state['tpu_ok']:
-                arm_t[arm] = '<skipped: device fault earlier in the run>'
-                continue
-            if remaining() < 90:
-                arm_t[arm] = '<skipped: wall-clock budget exhausted>'
-                continue
-            arm_timeout = min(600, remaining())
-            out, err2, fault2 = _run_stage_subprocess(
-                ['--train-arm', arm, *common], timeout=arm_timeout)
-            if (out is None and fault2
-                    and not (err2 and err2.startswith('<timeout')
-                             and arm_timeout < 599)):
-                # same probe-then-retry as stage() (r04 run 5 lesson)
-                print(f'arm {arm} faulted; probing backend and retrying '
-                      f'once: {err2}', file=sys.stderr)
-                if (wait_for_backend(min(150, max(0, remaining())))
-                        and remaining() >= 90):
-                    extra.setdefault('transient_faults',
-                                     {})[f'arm_{arm}'] = err2
-                    arm_timeout = min(600, remaining())
-                    out, err2, fault2 = _run_stage_subprocess(
-                        ['--train-arm', arm, *common],
-                        timeout=arm_timeout)
-            if out is not None and 'seconds' in out:
-                arm_t[arm] = float(out['seconds'])
-            elif (fault2 and err2 and err2.startswith('<timeout')
-                    and arm_timeout < 599):
-                # budget-clamped timeout: a skip, not a device fault
-                arm_t[arm] = (f'<skipped: budget exhausted mid-arm '
-                              f'(clamped to {arm_timeout:.0f}s)>')
-            else:
-                arm_t[arm] = err2 or '<failed>'
-                print(f'bench train arm {arm} failed: {arm_t[arm]}',
-                      file=sys.stderr)
-                if fault2:
-                    on_fault(f'arm_{arm}', err2)
+    def run_arm(arm):
+        if not state['tpu_ok']:
+            arm_t[arm] = '<skipped: device fault earlier in the run>'
+            return
+        if remaining() < 90:
+            arm_t[arm] = '<skipped: wall-clock budget exhausted>'
+            return
+        arm_timeout = min(600, remaining())
+        out, err2, fault2 = _run_stage_subprocess(
+            ['--train-arm', arm, *common], timeout=arm_timeout)
+        if (out is None and fault2
+                and not (err2 and err2.startswith('<timeout')
+                         and arm_timeout < 599)):
+            # same probe-then-retry as stage() (r04 run 5 lesson)
+            print(f'arm {arm} faulted; probing backend and retrying '
+                  f'once: {err2}', file=sys.stderr)
+            if (wait_for_backend(min(150, max(0, remaining())))
+                    and remaining() >= 90):
+                extra.setdefault('transient_faults',
+                                 {})[f'arm_{arm}'] = err2
+                arm_timeout = min(600, remaining())
+                out, err2, fault2 = _run_stage_subprocess(
+                    ['--train-arm', arm, *common],
+                    timeout=arm_timeout)
+        if out is not None and 'seconds' in out:
+            arm_t[arm] = float(out['seconds'])
+        elif (fault2 and err2 and err2.startswith('<timeout')
+                and arm_timeout < 599):
+            # budget-clamped timeout: a skip, not a device fault
+            arm_t[arm] = (f'<skipped: budget exhausted mid-arm '
+                          f'(clamped to {arm_timeout:.0f}s)>')
+        else:
+            arm_t[arm] = err2 or '<failed>'
+            print(f'bench train arm {arm} failed: {arm_t[arm]}',
+                  file=sys.stderr)
+            if fault2:
+                on_fault(f'arm_{arm}', err2)
+        # refresh the breakdown + derived keys after EVERY arm so the
+        # tail line always carries whatever was measured
         extra['train_step_breakdown'] = assemble_train_breakdown(
             arm_t, B, iters)
         if isinstance(arm_t.get('full'), float):
             extra[f'train_step_imgs_per_sec_b{B}'] = round(
                 B / arm_t['full'], 3)
+        emit()
 
-        stage('hmr_bf16_256', ['--stage', 'hmr_bf16_256', *common], 420)
-        stage('hmr_bnfold', ['--stage', 'hmr_bnfold', *common], 420)
+    # Stage order (VERDICT r04 #1): the two never-captured BASELINE.json
+    # metrics and one train arm come FIRST after the headline; expensive
+    # breadth (knobs, remaining arms, extra hmr variants) comes last.
+    try:
+        # BASELINE.json metric: "TUCH inference imgs/sec/chip"
+        out = stage('hmr_bf16_256',
+                    ['--stage', 'hmr_bf16_256', *common], 420)
+        if out:
+            extra['tuch_inference_imgs_per_sec_chip'] = out[
+                'hmr_smpl_inference_imgs_per_sec_bf16_b256']
+            emit()
+        # BASELINE.json metric: "contact-loss GFLOP/s"
+        out = stage('winding', ['--stage', 'winding', *common], 420)
+        if out and 'winding_gflops_per_sec' in out:
+            extra['contact_loss_gflops_per_sec'] = out[
+                'winding_gflops_per_sec']
+            emit()
+        # BASELINE.json config: full TUCH training step (VERDICT r04 #4)
+        run_arm('full')
         stage('hmr_lat1', ['--stage', 'hmr_lat1', *common], 420)
+        stage('eft', ['--stage', 'eft', *common], 600)
+        stage('hmr_parity', ['--stage', 'hmr_parity', *common], 600)
         stage('hmr_vit', ['--stage', 'hmr_vit', *common], 420)
+        stage('host', ['--stage', 'host', *common], 240, tpu=False,
+              env={'JAX_PLATFORMS': 'cpu'})
+
+        for arm in ('no_smplify', 'bare', 'mixed', 'mixed_compact',
+                    'mixed_fast', 'fast'):
+            run_arm(arm)
+
+        stage('hmr_bnfold', ['--stage', 'hmr_bnfold', *common], 420)
+        stage('knobs', ['--stage', 'knobs', *common], 900)
 
         host_rate = extra.get('input_pipeline_imgs_per_sec_1thread')
         chip_rate = (extra.get('train_step_breakdown') or {}).get(

@@ -1,10 +1,11 @@
 """Fused multi-head self-attention Pallas kernel for the ViT backbone.
 
-Why this exists (measured, docs/PERFORMANCE.md "ViT backbone"): the
-unfused attention in models/vit.py materializes the fp32 logits tensor in
-HBM -- (B, H, N, N) = 236 MB per block at B=256/vit_s16 -- and softmax
-makes several more passes over it, so vit_s16 serving measured BELOW the
-ResNet conv ceiling (20.7% vs 23% MFU) despite being matmul-shaped. At
+Why this exists: the unfused attention in models/vit.py materializes the
+fp32 logits tensor in HBM -- (B, H, N, N) = 236 MB per block at
+B=256/vit_s16 -- and softmax makes several more passes over it, an
+HBM-bandwidth tax on an otherwise matmul-shaped backbone. On-chip
+numbers for fused vs unfused are in docs/PERFORMANCE.md "ViT backbone
+(r05)". At
 HMR's token counts (N = (224/16)^2 = 196) the ENTIRE per-head attention
 fits in VMEM, so no online-softmax machinery is needed: one program
 computes logits, the fp32 softmax, and the value contraction without any
