@@ -20,6 +20,7 @@ perturbation + fetch_sync (docs/PERFORMANCE.md "Timing sync rule").
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -198,6 +199,22 @@ def main():
             res[f'{name}_backbone_ms'] = round(1e3 * t, 3)
             res[f'{name}_backbone_mfu'] = round(
                 B * flops / t / 1.97e14, 4)
+            # fused-vs-unfused attention A/B (VERDICT r04 #2): same
+            # model, the env switch forces the jnp reference attention
+            # (HBM logits tensor) at trace time
+            os.environ['TUCH_DISABLE_FUSED_MHA'] = '1'
+            try:
+                t_unf = timed_scan(
+                    lambda x, v=vit, p=vparams: v.apply(p, x,
+                                                        train=False),
+                    imgs, jnp.zeros((B, width)), n=10)
+            finally:
+                os.environ.pop('TUCH_DISABLE_FUSED_MHA', None)
+            res[f'{name}_backbone_ms_unfused_attn'] = round(1e3 * t_unf,
+                                                            3)
+            res[f'{name}_backbone_mfu_unfused_attn'] = round(
+                B * flops / t_unf / 1.97e14, 4)
+            res[f'{name}_fused_attention_speedup'] = round(t_unf / t, 3)
             # e2e: full HMR (ViT backbone + IEF head) + SMPL, the same
             # boundary as `e2e_mfu_bench_defn` above.
             vhmr = hmr_mod.create_hmr(

@@ -144,9 +144,13 @@ def fused_mha(qkv: jnp.ndarray, heads: int) -> jnp.ndarray:
 
     Differentiable: the VJP recomputes through mha_reference (identical
     math), so the ViT training path works regardless of which forward
-    implementation ran.
+    implementation ran. TUCH_DISABLE_FUSED_MHA=1 forces the jnp
+    reference even on TPU (read at trace time) -- the measurement
+    switch for the fused-vs-unfused A/B (tools/mfu_experiments.py).
     """
-    if _HAS_PALLAS and pallas_available():
+    import os
+    if (_HAS_PALLAS and pallas_available()
+            and os.environ.get('TUCH_DISABLE_FUSED_MHA') != '1'):
         return mha_pallas(qkv, heads)
     return mha_reference(qkv, heads)
 
